@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship dem2tintiles-style pipeline on sf0.001 —
+geocode pages → tile keys → per-tile Terra TIN meshing → tile records.
+
+queries()/oracle_sql(): operator catalog from SURVEY.md §2; oracle SQL
+is generated from the same templates as the Spark plans
+(tin_terrain_spark/functions/geocode_exprs.py) so values are
+bit-identical across engines.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: terra-mesh the geocoded
+    pages at zoom 1 and return the tile records."""
+    from tin_terrain_spark.operators.geocode import geocode_points
+    from tin_terrain_spark.operators.meshing import mesh_tiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pts = geocode_points(docs, zoom=1, grid_bits=5)
+    return mesh_tiles(pts, zoom=1, grid_bits=5, method="terra", max_error=2.0).drop("terrain")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tin_terrain_spark import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(Q.QUERIES)
+    out.update(Q.MESH_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tin_terrain_spark import queries as Q
+
+    return dict(Q.ORACLES)

@@ -172,3 +172,34 @@ def test_raster_coord_roundtrip():
     x0, y0, x1, y1 = g.bbox()
     assert abs((x1 - x0) - 10 * 1.5) < 1e-12
     assert abs((y1 - y0) - 19 * 1.5) < 1e-12
+
+
+def test_zemlya_sin_grid():
+    from tin_terrain_spark.kernels.zemlya import generate_tin_zemlya
+
+    g = sin_grid(40, 40, amp=10.0, freq=0.3)
+    verts, faces = generate_tin_zemlya(g, max_error=0.5)
+    ok, problems = check_tin_properties(verts, faces)
+    assert ok, problems
+    assert len(verts) > 4
+
+
+def test_zemlya_coarser_than_terra():
+    """Zemlya's hierarchical averaging yields fewer vertices than terra
+    at the same max_error (BASELINE.md: 593,926 vs 1,038,850 at 2.0)."""
+    g1 = sin_grid(50, 50, amp=20.0, freq=0.25)
+    g2 = sin_grid(50, 50, amp=20.0, freq=0.25)
+    vt, _ = generate_tin_terra(g1, max_error=1.0)
+    from tin_terrain_spark.kernels.zemlya import generate_tin_zemlya
+
+    vz, _ = generate_tin_zemlya(g2, max_error=1.0)
+    assert len(vz) <= len(vt) * 1.1
+
+
+def test_zemlya_deterministic():
+    from tin_terrain_spark.kernels.zemlya import generate_tin_zemlya
+
+    v1, f1 = generate_tin_zemlya(sin_grid(30, 30, amp=8.0, freq=0.4), 0.3)
+    v2, f2 = generate_tin_zemlya(sin_grid(30, 30, amp=8.0, freq=0.4), 0.3)
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(f1, f2)

@@ -1,0 +1,232 @@
+"""The flagship distributed operator: per-tile TIN meshing (Y3/Y4).
+
+Pipeline (reference dem2tintiles, SURVEY.md §3.1), Spark-first:
+
+  points(x, y, z, tile, cell)
+    → border-buffer fan-out: a point within `buffer_cells` grid cells of
+      a tile edge is duplicated into the neighbor tile's buffered raster
+      (the reference buffers partitions by resolution*100 m so border
+      triangles survive clipping — dem2tintiles_workflow.cpp:51-53);
+      bounded 1:≤4 row expansion, pure Column exprs
+    → groupBy(tile, row, col).agg(sum(z), count)   ← map-side combine
+      collapses 10^12 points to ≤ (grid_n+2b)² rows per tile BEFORE the
+      heavy shuffle (this is the scale-critical step)
+    → groupBy(tile).applyInPandas(mesh_tile_kernel) — assemble the dense
+      grid, run Terra/Zemlya/dense greedy meshing, normalize to the unit
+      tile, clip to [0,1]² (TileMaker.cpp:45-124), encode quantized-mesh
+    → tiles(zoom, tile_x, tile_y, n_points, n_vertices, n_faces,
+            max_err, terrain:binary)
+
+Skew: hot tiles are bounded by construction — the pre-aggregation caps
+any tile's kernel input at (grid_n+2b)² rows regardless of how many
+points land in it, so no salting is needed for the mesh path itself;
+the cell-level groupBy handles point skew via map-side partial
+aggregation + AQE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import geocode_exprs as GX
+
+TILE_SCHEMA = (
+    "zoom INT, tile_x BIGINT, tile_y BIGINT, n_points BIGINT, "
+    "n_cells INT, n_vertices INT, n_faces INT, max_err DOUBLE, "
+    "min_z DOUBLE, max_z DOUBLE, terrain BINARY"
+)
+
+
+def cell_grid(
+    points: DataFrame,
+    zoom: int,
+    grid_bits: int = 5,
+    buffer_cells: int = 2,
+) -> DataFrame:
+    """points (geocoded) → per-(tile,row,col) aggregated grid cells with
+    border-buffer duplication. Output: tile_x, tile_y, row_b, col_b,
+    z_sum, z_cnt   (row_b/col_b indexed into the buffered raster)."""
+    g = 1 << grid_bits
+    b = buffer_cells
+    n_tiles = 1 << zoom
+
+    # local cell coords within own tile (cell is the tile key at
+    # zoom+grid_bits, so this is a bit mask)
+    pts = points.withColumn("col0", F.col("cell_x") - F.col("tile_x") * g).withColumn(
+        "row0", F.col("cell_y") - F.col("tile_y") * g
+    )
+
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    candidates = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in offsets
+        ]
+    )
+    pts = pts.withColumn(
+        "nbr",
+        F.explode(
+            F.filter(
+                candidates,
+                lambda o: (
+                    ((o.dx == 0) | ((o.dx == -1) & (F.col("col0") < b)) | ((o.dx == 1) & (F.col("col0") >= g - b)))
+                    & ((o.dy == 0) | ((o.dy == -1) & (F.col("row0") < b)) | ((o.dy == 1) & (F.col("row0") >= g - b)))
+                ),
+            )
+        ),
+    )
+    pts = (
+        pts.withColumn("t_x", F.col("tile_x") + F.col("nbr.dx"))
+        .withColumn("t_y", F.col("tile_y") + F.col("nbr.dy"))
+        .filter(
+            (F.col("t_x") >= 0)
+            & (F.col("t_x") < n_tiles)
+            & (F.col("t_y") >= 0)
+            & (F.col("t_y") < n_tiles)
+        )
+        # buffered-raster indices: col_b in [0, g+2b)
+        .withColumn("col_b", (F.col("cell_x") - F.col("t_x") * g + b).cast("int"))
+        .withColumn("row_ll", (F.col("cell_y") - F.col("t_y") * g + b).cast("int"))
+        .withColumn("row_b", F.lit(g + 2 * b - 1) - F.col("row_ll"))
+    )
+
+    return (
+        pts.groupBy("t_x", "t_y", "row_b", "col_b")
+        .agg(F.sum("z").alias("z_sum"), F.count(F.lit(1)).alias("z_cnt"))
+        .withColumnRenamed("t_x", "tile_x")
+        .withColumnRenamed("t_y", "tile_y")
+    )
+
+
+def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
+                      max_error: float, step: int, compute_error: bool,
+                      encode_terrain: bool):
+    """Build the applyInPandas kernel (runs on executors; imports stay
+    inside so the function pickles cleanly)."""
+    g = 1 << grid_bits
+    b = buffer_cells
+    tile_m = GX.tile_size_meters(zoom)
+    cellsize = tile_m / g
+    hc = GX.HALF_CIRCUMFERENCE
+
+    def mesh_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        from tin_terrain_spark.kernels.codec import encode_qm_tile
+        from tin_terrain_spark.kernels.dense import generate_tin_dense_quadwalk
+        from tin_terrain_spark.kernels.geometry import clip_triangles_to_01_quadrant
+        from tin_terrain_spark.kernels.mesh2raster import measure_error, rasterise_mesh
+        from tin_terrain_spark.kernels.raster import Grid
+        from tin_terrain_spark.kernels.terra import generate_tin_terra
+        from tin_terrain_spark.kernels.zemlya import generate_tin_zemlya
+
+        tile_x = int(pdf["tile_x"].iloc[0])
+        tile_y = int(pdf["tile_y"].iloc[0])
+        size = g + 2 * b
+        z = np.full((size, size), np.nan)
+        rows = pdf["row_b"].to_numpy()
+        cols = pdf["col_b"].to_numpy()
+        z[rows, cols] = pdf["z_sum"].to_numpy() / pdf["z_cnt"].to_numpy()
+        n_points = int(pdf.loc[(pdf["row_b"] >= b) & (pdf["row_b"] < g + b)
+                               & (pdf["col_b"] >= b) & (pdf["col_b"] < g + b), "z_cnt"].sum())
+        n_cells = int(len(pdf))
+
+        # tile bounds in meters (PixelsToMeters, MercatorProjection.cpp:30-37)
+        res = 2.0 * hc / 256.0 / (1 << zoom)
+        tile_min_x = tile_x * 256.0 * res - hc
+        tile_min_y = tile_y * 256.0 * res - hc
+
+        grid = Grid(
+            z,
+            xpos=tile_min_x - b * cellsize,
+            ypos=tile_min_y - b * cellsize,
+            cellsize=cellsize,
+            ndv=np.nan,
+        )
+        if method == "terra":
+            verts, faces = generate_tin_terra(grid, max_error)
+        elif method == "zemlya":
+            verts, faces = generate_tin_zemlya(grid, max_error)
+        elif method == "dense":
+            verts, faces = generate_tin_dense_quadwalk(grid, step)
+        else:
+            raise ValueError(f"unknown meshing method {method!r}")
+
+        max_err = float("nan")
+        if compute_error and len(faces):
+            r = rasterise_mesh(verts, faces, size, size)
+            src = Grid(np.where(np.isnan(z), -99999.0, z), ndv=-99999.0)
+            _, _, max_err, n_valid, _ = measure_error(r, src)
+            if n_valid == 0:
+                max_err = float("nan")
+
+        # normalize to unit tile space (TileMaker.cpp:71-105)
+        tris = verts[faces]  # (m, 3, 3) world coords
+        terrain = None
+        n_vertices, n_faces = len(verts), len(faces)
+        min_z = float(np.min(verts[:, 2])) if len(verts) else float("nan")
+        max_z = float(np.max(verts[:, 2])) if len(verts) else float("nan")
+        if encode_terrain and len(tris):
+            zmin = tris[:, :, 2].min()
+            zmax = tris[:, :, 2].max()
+            inv_z = 1.0 / (zmax - zmin) if zmax > zmin else 1.0
+            unit = tris.copy()
+            unit[:, :, 0] = (unit[:, :, 0] - tile_min_x) / tile_m
+            unit[:, :, 1] = (unit[:, :, 1] - tile_min_y) / tile_m
+            unit[:, :, 2] = (unit[:, :, 2] - zmin) * inv_z
+            clipped = clip_triangles_to_01_quadrant(unit)
+            n_faces = len(clipped)
+            uniq = (
+                np.unique(clipped.reshape(-1, 3), axis=0) if n_faces else np.zeros((0, 3))
+            )
+            n_vertices = len(uniq)
+            terrain = encode_qm_tile(
+                clipped,
+                (tile_min_x, tile_min_y, zmin),
+                (tile_min_x + tile_m, tile_min_y + tile_m, zmax),
+                mesh_is_rescaled=True,
+            )
+
+        return pd.DataFrame(
+            [
+                {
+                    "zoom": zoom,
+                    "tile_x": tile_x,
+                    "tile_y": tile_y,
+                    "n_points": n_points,
+                    "n_cells": n_cells,
+                    "n_vertices": int(n_vertices),
+                    "n_faces": int(n_faces),
+                    "max_err": max_err,
+                    "min_z": min_z,
+                    "max_z": max_z,
+                    "terrain": terrain,
+                }
+            ]
+        )
+
+    return mesh_tile
+
+
+def mesh_tiles(
+    points: DataFrame,
+    zoom: int,
+    grid_bits: int = 5,
+    buffer_cells: int = 2,
+    method: str = "terra",
+    max_error: float = 2.0,
+    step: int = 1,
+    compute_error: bool = False,
+    encode_terrain: bool = True,
+) -> DataFrame:
+    """Full tile-meshing operator: geocoded points → tile records.
+
+    Degenerate tiles (too sparse to carry information) still mesh —
+    corner repair (TerraUtils.cpp:8-22) back-fills from the nearest
+    valid cells, exactly as the reference handles no-data regions."""
+    cells = cell_grid(points, zoom, grid_bits, buffer_cells)
+    kernel = _make_mesh_kernel(
+        zoom, grid_bits, buffer_cells, method, max_error, step,
+        compute_error, encode_terrain,
+    )
+    return cells.groupBy("tile_x", "tile_y").applyInPandas(kernel, TILE_SCHEMA)
