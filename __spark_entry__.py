@@ -35,14 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tin_terrain_spark import queries as Q
+    from tin_terrain_spark import queries_ext as QE
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(Q.QUERIES)
     out.update(Q.MESH_QUERIES)
+    out.update(QE.QUERIES_EXT)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from tin_terrain_spark import queries as Q
+    from tin_terrain_spark import queries_ext as QE
 
-    return dict(Q.ORACLES)
+    out = dict(Q.ORACLES)
+    out.update(QE.ORACLES_EXT)
+    return out

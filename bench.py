@@ -1,0 +1,112 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "tiles_per_sec": ...,
+   "rows": {...}}
+
+The flagship metric is tiles/sec for the Terra meshing pipeline plus
+spatial-join rows matched (BASELINE.md). Scaling evidence (local[8] vs
+local[32]) is produced by scripts/run_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def bench_queries():
+    """name → (category, callable(spark, sf_dir) -> DataFrame)."""
+    from pyspark.sql import functions as F
+
+    from tin_terrain_spark import queries as Q
+    from tin_terrain_spark import queries_ext as QE
+    from tin_terrain_spark.operators.geocode import geocode_points
+    from tin_terrain_spark.operators.meshing import mesh_tiles
+
+    def mesh_q(method, zoom, **kw):
+        def f(spark, sf_dir):
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            pts = geocode_points(docs, zoom=zoom, grid_bits=5)
+            return mesh_tiles(pts, zoom=zoom, grid_bits=5, method=method, **kw)
+
+        return f
+
+    return {
+        "mesh_terra_z4": ("mesh", mesh_q("terra", 4, max_error=2.0)),
+        "mesh_zemlya_z4": ("mesh", mesh_q("zemlya", 4, max_error=2.0)),
+        "mesh_dense_z4": ("mesh", mesh_q("dense", 4, step=2)),
+        "tile_counts": ("relational", Q.QUERIES["tile_counts"]),
+        "grid_cells": ("relational", Q.QUERIES["grid_cells"]),
+        "downsample": ("relational", Q.QUERIES["downsample"]),
+        "error_stats": ("relational", Q.QUERIES["error_stats"]),
+        "zoom_pyramid": ("relational", Q.QUERIES["zoom_pyramid"]),
+        "pip": ("join", QE.QUERIES_EXT["pip"]),
+        "knn_ring": ("join", QE.QUERIES_EXT["knn_ring"]),
+        "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
+        "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
+        "simhash": ("dedup", QE.QUERIES_EXT["simhash"]),
+        "ann_brute": ("similarity", QE.QUERIES_EXT["ann_brute"]),
+        "text_stats": ("text", QE.QUERIES_EXT["text_stats"]),
+        "fingerprints": ("text", QE.QUERIES_EXT["fingerprints"]),
+        "events_window": ("events", QE.QUERIES_EXT["events_window"]),
+        "sessionize": ("events", QE.QUERIES_EXT["sessionize"]),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from tin_terrain_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cores)
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    tiles_meshed = 0
+    mesh_time = 0.0
+    join_rows = 0
+
+    for name, (cat, fn) in bench_queries().items():
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        rows[name] = n
+        if cat == "mesh":
+            tiles_meshed += n
+            mesh_time += dt
+        if cat == "join":
+            join_rows += n
+
+    total = round(sum(times.values()), 3)
+    tiles_per_sec = round(tiles_meshed / mesh_time, 3) if mesh_time > 0 else 0.0
+    out = {
+        "metric": "tiles/sec (TIN tiles meshed + spatial-join rows matched)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cores": cores,
+        "tiles_per_sec": tiles_per_sec,
+        "tiles_meshed": tiles_meshed,
+        "join_rows_matched": join_rows,
+        "rows": rows,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

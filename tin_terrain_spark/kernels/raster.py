@@ -110,35 +110,58 @@ def find_minmax(grid: Grid):
     return (float(v.min()), float(v.max()))
 
 
-def _subsample_3x3(z: np.ndarray, ndv: float, r: int, c: int) -> float:
-    """Weighted 3x3 subsample: center×3, cross-avg×2, diag-avg×1
-    (raster_tools.cpp:274-323)."""
+def _subsample_3x3_full(z: np.ndarray, ndv: float) -> np.ndarray:
+    """Vectorized weighted 3x3 subsample: center×3, cross-avg×2,
+    diag-avg×1, NaN-aware (raster_tools.cpp:274-323). Computed for every
+    center in [-1, h] × [-1, w] (the reference evaluates subsamples at
+    centers one ring OUTSIDE the raster, whose windows still touch valid
+    pixels) — returned as an (h+2, w+2) plane with +1 index offset.
+    Computing the whole plane once turns the Bresenham search into
+    array lookups (same values as the reference's per-pixel calls)."""
     h, w = z.shape
+    zz = np.where(z == ndv, np.nan, z)
+    # pad by 2 so every center in [-1, h] has a full 3x3 window
+    pad = np.full((h + 4, w + 4), np.nan)
+    pad[2 : h + 2, 2 : w + 2] = zz
+    hh, ww = h + 2, w + 2  # output dims (centers -1..h / -1..w)
 
-    def px(rr, cc):
-        if 0 <= rr < h and 0 <= cc < w:
-            v = z[rr, cc]
-            return np.nan if v == ndv else v
-        return np.nan
-
-    center = px(r, c)
-    cross = np.array([px(r - 1, c), px(r, c - 1), px(r, c + 1), px(r + 1, c)])
-    diag = np.array(
-        [px(r - 1, c - 1), px(r - 1, c + 1), px(r + 1, c - 1), px(r + 1, c + 1)]
+    center = pad[1 : hh + 1, 1 : ww + 1]
+    cross = np.stack(
+        [
+            pad[0:hh, 1 : ww + 1],  # top
+            pad[1 : hh + 1, 0:ww],  # left
+            pad[1 : hh + 1, 2 : ww + 2],  # right
+            pad[2 : hh + 2, 1 : ww + 1],  # bottom
+        ]
     )
-    cross_avg = np.nan if np.isnan(cross).all() else np.nanmean(cross)
-    diag_avg = np.nan if np.isnan(diag).all() else np.nanmean(diag)
-    weighted = np.array([center, center, center, cross_avg, cross_avg, diag_avg])
-    if np.isnan(weighted).all():
-        return np.nan
-    return float(np.nanmean(weighted))
+    diag = np.stack(
+        [
+            pad[0:hh, 0:ww],
+            pad[0:hh, 2 : ww + 2],
+            pad[2 : hh + 2, 0:ww],
+            pad[2 : hh + 2, 2 : ww + 2],
+        ]
+    )
+    with np.errstate(invalid="ignore"):
+        cross_cnt = (~np.isnan(cross)).sum(axis=0)
+        cross_avg = np.where(cross_cnt > 0, np.nansum(cross, axis=0) / np.maximum(cross_cnt, 1), np.nan)
+        diag_cnt = (~np.isnan(diag)).sum(axis=0)
+        diag_avg = np.where(diag_cnt > 0, np.nansum(diag, axis=0) / np.maximum(diag_cnt, 1), np.nan)
+
+        stack = np.stack([center, center, center, cross_avg, cross_avg, diag_avg])
+        cnt = (~np.isnan(stack)).sum(axis=0)
+        out = np.where(cnt > 0, np.nansum(stack, axis=0) / np.maximum(cnt, 1), np.nan)
+    return out
 
 
 def sample_nearest_valid_avg(
-    grid: Grid, row: int, col: int, min_samples: int = 1
+    grid: Grid, row: int, col: int, min_samples: int = 1,
+    subsampled: np.ndarray | None = None,
 ) -> float:
     """Expanding Bresenham-circle search for valid samples
-    (raster_tools.cpp:343-427). Returns NaN when nothing valid exists."""
+    (raster_tools.cpp:343-427). Returns NaN when nothing valid exists.
+    Pass a precomputed `_subsample_3x3_full` plane via `subsampled` to
+    amortize across repeated calls on the same grid."""
     z = grid.z
     ndv = grid.ndv
     h, w = z.shape
@@ -147,39 +170,26 @@ def sample_nearest_valid_avg(
         if not (np.isnan(v) or v == ndv):
             return float(v)
 
+    if subsampled is None:
+        subsampled = _subsample_3x3_full(z, ndv)
+
     min_samples = min(min_samples, MAX_AVERAGING_SAMPLES)
     samples: list[float] = []
-
-    def putpixel(x: int, y: int):
-        if len(samples) >= MAX_AVERAGING_SAMPLES:
-            return
-        s = _subsample_3x3(z, ndv, row + y, col + x)
-        if not (np.isnan(s) or s == ndv):
-            samples.append(s)
 
     max_radius = int(np.sqrt(w * w + h * h))
     radius = 2
     while radius <= max_radius and len(samples) < min_samples:
-        x, y = radius - 1, 0
-        dx = dy = 1
-        err = dx - (radius // 2)
-        while x >= y:
-            putpixel(x, y)
-            putpixel(y, x)
-            putpixel(-y, x)
-            putpixel(-x, y)
-            putpixel(-x, -y)
-            putpixel(-y, -x)
-            putpixel(y, -x)
-            putpixel(x, -y)
-            if err <= 0:
-                y += 1
-                err += dy
-                dy += 2
-            else:
-                x -= 1
-                dx += 2
-                err += dx - (radius // 2)
+        offs = _circle_offsets(radius)  # (n, 2) int arrays in putpixel order
+        rr = row + offs[:, 1] + 1  # +1: subsample plane covers -1..h
+        cc = col + offs[:, 0] + 1
+        ok = (rr >= 0) & (rr < h + 2) & (cc >= 0) & (cc < w + 2)
+        vals = np.full(len(offs), np.nan)
+        vals[ok] = subsampled[rr[ok], cc[ok]]
+        good = ~(np.isnan(vals) | (vals == ndv))
+        for v in vals[good]:
+            if len(samples) >= MAX_AVERAGING_SAMPLES:
+                break
+            samples.append(float(v))
         radius += 1
 
     if not samples:
@@ -187,6 +197,36 @@ def sample_nearest_valid_avg(
     if len(samples) == 1:
         return samples[0]
     return float(sum(samples) / len(samples))
+
+
+_CIRCLE_CACHE: dict = {}
+
+
+def _circle_offsets(radius: int) -> np.ndarray:
+    """Bresenham-circle (x, y) offsets in the reference's exact putpixel
+    order (raster_tools.cpp:389-420), cached per radius."""
+    hit = _CIRCLE_CACHE.get(radius)
+    if hit is not None:
+        return hit
+    out = []
+    x, y = radius - 1, 0
+    dx = dy = 1
+    err = dx - (radius // 2)
+    while x >= y:
+        out.extend(
+            [(x, y), (y, x), (-y, x), (-x, y), (-x, -y), (-y, -x), (y, -x), (x, -y)]
+        )
+        if err <= 0:
+            y += 1
+            err += dy
+            dy += 2
+        else:
+            x -= 1
+            dx += 2
+            err += dx - (radius // 2)
+    arr = np.asarray(out, dtype=np.int64)
+    _CIRCLE_CACHE[radius] = arr
+    return arr
 
 
 def count_value(grid: Grid, v: float) -> int:

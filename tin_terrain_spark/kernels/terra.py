@@ -52,6 +52,9 @@ class TerraMesh(DelaunayMesh):
     # -- corner repair (TerraUtils.cpp:8-22) -----------------------------
 
     def repair_point(self, px: int, py: int) -> None:
+        # no caching across calls: the reference repairs corners against
+        # the LIVE raster, so each repair may see earlier repairs
+        # (sample_nearest_valid_avg vectorizes the subsample plane per call)
         z = sample_nearest_valid_avg(self.grid, py, px)
         ndv = self.grid.ndv
         if np.isnan(z) or z == ndv:

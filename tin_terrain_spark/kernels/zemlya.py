@@ -65,6 +65,7 @@ class ZemlyaMesh(DelaunayMesh):
         self.max_error = 0.0
 
     def repair_point(self, px: int, py: int) -> None:
+        # live-raster semantics: see terra.repair_point
         z = sample_nearest_valid_avg(self.grid, py, px)
         if np.isnan(z) or z == self.grid.ndv:
             self.grid.z[py, px] = 0.0

@@ -1,0 +1,197 @@
+"""Spatial joins built on the tile/cell index (SURVEY.md §2.5 J5/J6).
+
+J5 point-in-polygon: polygon → covering tile range (broadcast) →
+equi-join on tile key → exact predicate refine. The tile prefilter is
+semantics-free: the tile function is monotone, so every point whose
+coordinate lies in [min, max] falls in a covering tile; the exact
+`between` refine applies the reference's eps-padded containment
+(geometrix.cpp:256-260) with eps=0 for exact oracle parity.
+
+J6 kNN: grid-ring expansion — candidates from the Chebyshev ring of
+cells around each query, exact distance refine + per-query top-k
+window, with the correctness guarantee enforced by expansion: a query's
+result is final only when its k-th distance is ≤ the ring's guaranteed
+radius (ring_r * cell_size, the geometry the reference uses for
+buffered partitions, dem2tintiles_workflow.cpp:51-53); unresolved
+queries re-run with a doubled ring. Brute-force variant provided as the
+oracle-checked baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..functions import geocode_exprs as GX
+
+
+def polygons_df(spark, n: int = 24, seed_base: int = 7777):
+    """Deterministic axis-aligned query boxes derived from the same
+    integer hash streams (reproducible in SQL for the oracle)."""
+    r = spark.range(n).withColumnRenamed("id", "poly_id")
+    cx = GX.mercator_x_sql(f"(poly_id + {seed_base})")
+    cy = GX.mercator_y_sql(f"(poly_id + {seed_base})")
+    half = f"({GX.dlit(100000.0)} + {GX.dlit(1500000.0)} * {GX.u_hash_sql(f'(poly_id + {seed_base})', 'u3')})"
+    return (
+        r.withColumn("pmin_x", F.expr(f"{cx} - {half}"))
+        .withColumn("pmax_x", F.expr(f"{cx} + {half}"))
+        .withColumn("pmin_y", F.expr(f"{cy} - {half}"))
+        .withColumn("pmax_y", F.expr(f"{cy} + {half}"))
+    )
+
+
+def polygons_sql(n: int = 24, seed_base: int = 7777) -> str:
+    cx = GX.mercator_x_sql(f"(poly_id + {seed_base})")
+    cy = GX.mercator_y_sql(f"(poly_id + {seed_base})")
+    half = f"({GX.dlit(100000.0)} + {GX.dlit(1500000.0)} * {GX.u_hash_sql(f'(poly_id + {seed_base})', 'u3')})"
+    return f"""
+      SELECT poly_id,
+             {cx} - {half} AS pmin_x, {cx} + {half} AS pmax_x,
+             {cy} - {half} AS pmin_y, {cy} + {half} AS pmax_y
+      FROM (SELECT CAST(range AS BIGINT) AS poly_id FROM range({n}))
+    """
+
+
+def pip_join(points: DataFrame, polys: DataFrame, zoom: int) -> DataFrame:
+    """J5: cell-indexed point-in-polygon. polys gets exploded to its
+    covering tiles (bounded fan-out), broadcast, equi-joined on the tile
+    key, then exactly refined — Catalyst turns this into a broadcast
+    hash join with the `between` conjunction as a post-filter."""
+    spark = points.sparkSession  # noqa: F841  (kept for symmetry)
+    pt = polys.select(
+        "poly_id",
+        "pmin_x",
+        "pmax_x",
+        "pmin_y",
+        "pmax_y",
+        F.expr(GX.tile_sql("pmin_x", zoom)).alias("tx0"),
+        F.expr(GX.tile_sql("pmax_x", zoom)).alias("tx1"),
+        F.expr(GX.tile_sql("pmin_y", zoom)).alias("ty0"),
+        F.expr(GX.tile_sql("pmax_y", zoom)).alias("ty1"),
+    )
+    n_tiles = 1 << zoom
+    covering = pt.select(
+        "poly_id",
+        "pmin_x",
+        "pmax_x",
+        "pmin_y",
+        "pmax_y",
+        F.explode(
+            F.sequence(F.greatest(F.col("tx0"), F.lit(0)), F.least(F.col("tx1"), F.lit(n_tiles - 1)))
+        ).alias("tile_x"),
+        F.col("ty0"),
+        F.col("ty1"),
+    ).select(
+        "poly_id",
+        "pmin_x",
+        "pmax_x",
+        "pmin_y",
+        "pmax_y",
+        "tile_x",
+        F.explode(
+            F.sequence(F.greatest(F.col("ty0"), F.lit(0)), F.least(F.col("ty1"), F.lit(n_tiles - 1)))
+        ).alias("tile_y"),
+    )
+    joined = points.join(F.broadcast(covering), ["tile_x", "tile_y"], "inner")
+    return joined.filter(
+        F.col("x").between(F.col("pmin_x"), F.col("pmax_x"))
+        & F.col("y").between(F.col("pmin_y"), F.col("pmax_y"))
+    )
+
+
+def knn_brute(points: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """J6 baseline: exact brute-force kNN via broadcast cross join +
+    per-query top-k window. dist2 is exact IEEE arithmetic (mul/add),
+    so it hash-compares across engines without rounding."""
+    q = queries.select(
+        F.col("q_id"), F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    cand = points.select("doc_id", "x", "y").crossJoin(F.broadcast(q))
+    cand = cand.withColumn(
+        "dist2",
+        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "dist2")
+    )
+
+
+def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
+             k: int = 5, initial_ring: int | None = None) -> DataFrame:
+    """J6 scale path: one-pass ring join on the cell grid + exact
+    fallback for unresolved queries.
+
+    Ring radius R is estimated from global point density (expected
+    points in a (2R+1)² cell window ≥ 8k), then a single candidate join
+    runs: points whose cell lies within Chebyshev radius R of a query's
+    cell (broadcast queries — at 10^12 points this is a broadcast range
+    join with NO shuffle of the big side), exact distance refine,
+    per-query top-k window. A query is FINAL when its k-th distance ≤
+    R * cell_size (nothing outside the ring can be closer — the same
+    buffered-margin geometry as the reference's partitions,
+    dem2tintiles_workflow.cpp:51-53). The (rare, sparse-region)
+    unresolved queries are brute-forced in a second job. The two jobs
+    replace the reference's implicit full-scan with bounded work.
+    """
+    cell_m = GX.tile_size_meters(zoom + grid_bits)
+    pts = points.select("doc_id", "x", "y", "cell_x", "cell_y")
+    q = queries.select(
+        "q_id",
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        F.col("cell_x").alias("qcx"),
+        F.col("cell_y").alias("qcy"),
+    )
+
+    if initial_ring is None:
+        stats = pts.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell_x", "cell_y").alias("nc"),
+        ).collect()[0]
+        density = stats["n"] / max(stats["nc"], 1)
+        import math
+
+        initial_ring = max(2, int(math.ceil(math.sqrt(8.0 * k / max(density, 1e-9)) / 2)))
+
+    ring = initial_ring
+    cand = pts.join(
+        F.broadcast(q),
+        (F.col("cell_x") >= F.col("qcx") - ring)
+        & (F.col("cell_x") <= F.col("qcx") + ring)
+        & (F.col("cell_y") >= F.col("qcy") - ring)
+        & (F.col("cell_y") <= F.col("qcy") + ring),
+        "inner",
+    ).withColumn(
+        "dist2",
+        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "doc_id", "rank", "dist2")
+    ).persist()  # consumed twice: guarantee check + final projection
+
+    guarantee2 = float(ring * cell_m) ** 2
+    per_q = topk.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2")
+    )
+    resolved_rows = per_q.filter(
+        (F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2)
+    ).collect()
+    resolved_ids = {r["q_id"] for r in resolved_rows}
+    all_ids = {r["q_id"] for r in q.select("q_id").collect()}
+    unresolved = sorted(all_ids - resolved_ids)
+
+    done = topk.filter(F.col("q_id").isin(list(resolved_ids)) if resolved_ids else F.lit(False))
+    if not unresolved:
+        return done
+    leftover_q = q.filter(F.col("q_id").isin(unresolved)).select(
+        "q_id", F.col("qx").alias("x"), F.col("qy").alias("y")
+    )
+    leftover = knn_brute(pts, leftover_q, k)
+    return done.unionAll(leftover)

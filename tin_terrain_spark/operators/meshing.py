@@ -39,33 +39,62 @@ TILE_SCHEMA = (
 )
 
 
+def base_cells(points: DataFrame) -> DataFrame:
+    """The ONE heavy shuffle: 10^12 points → per-cell (sum, count)
+    partial aggregates with map-side combine. Everything downstream
+    (buffer fan-out, per-zoom rollup, tile grouping) operates on ~#cells
+    rows. Output: cell_x, cell_y, z_sum, z_cnt."""
+    return points.groupBy("cell_x", "cell_y").agg(
+        F.sum("z").alias("z_sum"), F.count(F.lit(1)).alias("z_cnt")
+    )
+
+
+def rollup_cells(cells: DataFrame, levels: int) -> DataFrame:
+    """Y2 overview reuse: coarsen the cell grid by `levels` powers of two
+    by summing (sum, count) — the coarse cell's average stays the exact
+    point-weighted mean (no re-scan of the raw table)."""
+    if levels <= 0:
+        return cells
+    f = 1 << levels
+    return (
+        cells.groupBy(
+            F.floor(F.col("cell_x") / f).cast("bigint").alias("cell_x"),
+            F.floor(F.col("cell_y") / f).cast("bigint").alias("cell_y"),
+        )
+        .agg(F.sum("z_sum").alias("z_sum"), F.sum("z_cnt").alias("z_cnt"))
+    )
+
+
 def cell_grid(
     points: DataFrame,
     zoom: int,
     grid_bits: int = 5,
     buffer_cells: int = 2,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
-    """points (geocoded) → per-(tile,row,col) aggregated grid cells with
-    border-buffer duplication. Output: tile_x, tile_y, row_b, col_b,
-    z_sum, z_cnt   (row_b/col_b indexed into the buffered raster)."""
+    """points (geocoded at this zoom's cell resolution) → per-(tile,
+    row,col) grid cells with border-buffer duplication. The 1:≤4
+    fan-out happens AFTER aggregation, on cell rows, so its cost is
+    independent of point count. Output: tile_x, tile_y, row_b, col_b,
+    z_sum, z_cnt (row_b/col_b indexed into the buffered raster)."""
     g = 1 << grid_bits
     b = buffer_cells
     n_tiles = 1 << zoom
 
-    # local cell coords within own tile (cell is the tile key at
-    # zoom+grid_bits, so this is a bit mask)
-    pts = points.withColumn("col0", F.col("cell_x") - F.col("tile_x") * g).withColumn(
-        "row0", F.col("cell_y") - F.col("tile_y") * g
+    c = cells if cells is not None else base_cells(points)
+    # own tile + local coords (cell is the tile key at zoom+grid_bits)
+    c = (
+        c.withColumn("tile_x", F.floor(F.col("cell_x") / g).cast("bigint"))
+        .withColumn("tile_y", F.floor(F.col("cell_y") / g).cast("bigint"))
+        .withColumn("col0", F.col("cell_x") - F.col("tile_x") * g)
+        .withColumn("row0", F.col("cell_y") - F.col("tile_y") * g)
     )
 
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     candidates = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx, dy in offsets
-        ]
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets]
     )
-    pts = pts.withColumn(
+    c = c.withColumn(
         "nbr",
         F.explode(
             F.filter(
@@ -77,8 +106,8 @@ def cell_grid(
             )
         ),
     )
-    pts = (
-        pts.withColumn("t_x", F.col("tile_x") + F.col("nbr.dx"))
+    c = (
+        c.withColumn("t_x", F.col("tile_x") + F.col("nbr.dx"))
         .withColumn("t_y", F.col("tile_y") + F.col("nbr.dy"))
         .filter(
             (F.col("t_x") >= 0)
@@ -91,12 +120,13 @@ def cell_grid(
         .withColumn("row_ll", (F.col("cell_y") - F.col("t_y") * g + b).cast("int"))
         .withColumn("row_b", F.lit(g + 2 * b - 1) - F.col("row_ll"))
     )
-
-    return (
-        pts.groupBy("t_x", "t_y", "row_b", "col_b")
-        .agg(F.sum("z").alias("z_sum"), F.count(F.lit(1)).alias("z_cnt"))
-        .withColumnRenamed("t_x", "tile_x")
-        .withColumnRenamed("t_y", "tile_y")
+    return c.select(
+        F.col("t_x").alias("tile_x"),
+        F.col("t_y").alias("tile_y"),
+        "row_b",
+        "col_b",
+        "z_sum",
+        "z_cnt",
     )
 
 

@@ -1,0 +1,133 @@
+"""Similarity search over the embeddings table (array<float> dim 64).
+
+  ann_brute   exact cosine top-k: zip_with + aggregate HOFs (JVM-side,
+              sequential left-to-right double accumulation), per-query
+              row_number window. The baseline for recall checks.
+  ann_lsh     sign-random-projection LSH buckets (deterministic integer
+              hyperplanes) → candidates share a bucket → exact refine.
+              The 10^12-row scale path: the bucket join replaces the
+              cross join; recall measured against ann_brute in tests.
+
+Scores are rounded to 4 decimals before ranking with vec_id tiebreak,
+absorbing summation-order ULPs for engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def _norm_sql(col: str) -> str:
+    return f"SQRT({DOT.format(a=col, b=col)})"
+
+
+def ann_brute(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k for the first n_queries vectors."""
+    v = emb.select("vec_id", "embedding")
+    q = v.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    dot = F.expr(DOT.format(a="embedding", b="q_emb"))
+    cos = dot / (
+        F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("q_emb"))
+    )
+    scored = pairs.withColumn("score", F.round(cos, 4))
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "score")
+    )
+
+
+def srp_buckets(emb: DataFrame, n_tables: int = 4, planes_per_table: int = 4) -> DataFrame:
+    """Multi-table sign-random-projection: per table t, bucket bit p =
+    sign(<v, h_{t,p}>), hyperplane weight for dim d =
+    ((d * (t*P+p+1) * 2654435761) mod 65521) - 32760 (deterministic
+    integer pseudo-hyperplanes). One row per (vec_id, table, bucket) —
+    a long layout that joins as a plain equi-key."""
+    rows = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(planes_per_table):
+            seed = t * planes_per_table + p + 1
+            w_expr = (
+                f"aggregate(zip_with(embedding, sequence(1, size(embedding)), "
+                f"(x, d) -> CAST(x AS DOUBLE) * (CAST((d * {seed} * 2654435761) % 65521 AS DOUBLE) - 32760.0)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            bits.append(
+                F.when(F.expr(w_expr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        bucket = bits[0]
+        for extra in bits[1:]:
+            bucket = bucket + extra
+        rows.append(
+            emb.select(
+                "vec_id", F.lit(t).alias("table_id"), bucket.alias("bucket")
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def ann_lsh(
+    emb: DataFrame, n_queries: int = 8, k: int = 10,
+    n_tables: int = 4, planes_per_table: int = 4,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = vectors sharing ANY table's bucket
+    with the query (equi-join on (table, bucket) — shuffle-free with
+    broadcast queries), deduped, exact cosine refine + top-k.
+    Approximate by design; recall vs ann_brute asserted in tests."""
+    b = srp_buckets(emb, n_tables, planes_per_table)
+    qb = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "table_id", "bucket"
+    )
+    cand_ids = (
+        b.join(F.broadcast(qb), ["table_id", "bucket"], "inner")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = cand_ids.join(emb, "vec_id").join(F.broadcast(q), "q_id")
+    dot = F.expr(DOT.format(a="embedding", b="q_emb"))
+    cos = dot / (F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("q_emb")))
+    scored = cand.withColumn("score", F.round(cos, 4))
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "score")
+    )
+
+
+def sql_ann_brute(n_queries: int = 8, k: int = 10) -> str:
+    """DuckDB oracle: unnest-based dot product (cast to double),
+    rounded to 4 before ranking — identical tie semantics."""
+    return f"""
+      WITH v AS (
+        SELECT vec_id, embedding FROM embeddings
+      ), q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM v WHERE vec_id < {n_queries}
+      ), pairs AS (
+        SELECT v.vec_id, q.q_id,
+               list_sum(list_transform(list_zip(v.embedding, q.q_emb),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+               sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        FROM v, q WHERE v.vec_id <> q.q_id
+      )
+      SELECT q_id, vec_id, rank, score FROM (
+        SELECT q_id, vec_id, round(dot / (nv * nq), 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(dot / (nv * nq), 4) DESC, vec_id ASC) AS INT) AS rank
+        FROM pairs
+      ) WHERE rank <= {k}
+    """

@@ -1,0 +1,333 @@
+"""Extended query registry: spatial joins, dedup, text analysis,
+similarity search, event-stream aggregation. Same contract as
+queries.py (aliased columns, oracle SQL from shared templates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions import geocode_exprs as GX
+from .operators import dedup as D
+from .operators import joins as J
+from .operators import similarity as S
+from .operators import textops as T
+from .operators.geocode import geocode_points
+from .queries import GRID_BITS, ZOOM, _docs, _points_sql
+
+
+# --------------------------------------------------------------------------
+# J5: point-in-polygon
+# --------------------------------------------------------------------------
+
+
+def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    polys = J.polygons_df(spark)
+    hits = J.pip_join(pts, polys, ZOOM)
+    return hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+SQL_PIP = f"""
+  WITH pts AS ({_points_sql()}), polys AS ({J.polygons_sql()})
+  SELECT poly_id, count(*) AS n_hits,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM pts JOIN polys
+    ON pts.x BETWEEN polys.pmin_x AND polys.pmax_x
+   AND pts.y BETWEEN polys.pmin_y AND polys.pmax_y
+  GROUP BY poly_id
+"""
+
+
+# --------------------------------------------------------------------------
+# J6: kNN
+# --------------------------------------------------------------------------
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    queries = pts.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"), "x", "y"
+    )
+    return J.knn_brute(pts.filter(F.col("doc_id") >= 8), queries, k=5)
+
+
+SQL_KNN_BRUTE = f"""
+  WITH pts AS ({_points_sql()}),
+  q AS (SELECT doc_id AS q_id, x AS qx, y AS qy FROM pts WHERE doc_id < 8),
+  cand AS (
+    SELECT q.q_id, p.doc_id,
+           (p.x - q.qx) * (p.x - q.qx) + (p.y - q.qy) * (p.y - q.qy) AS dist2
+    FROM pts p, q WHERE p.doc_id >= 8
+  )
+  SELECT q_id, doc_id, rank, dist2 FROM (
+    SELECT q_id, doc_id, dist2,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist2 ASC, doc_id ASC) AS INT) AS rank
+    FROM cand
+  ) WHERE rank <= 5
+"""
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path kNN (ring expansion) — must equal q_knn_brute; the
+    same SQL is therefore its oracle."""
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    queries = pts.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
+    )
+    return J.knn_ring(
+        pts.filter(F.col("doc_id") >= 8), queries, ZOOM, GRID_BITS, k=5, initial_ring=8
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_EXACT_DEDUP = """
+  SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_dups
+  FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _sql_minhash() -> str:
+    funcs = " UNION ALL ".join(
+        f"SELECT {i} AS func_id, {m} AS mul, {a} AS beta"
+        for i, (m, a) in enumerate(D.MINHASH_FUNCS)
+    )
+    return f"""
+      WITH vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+        FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
+      ), ids AS (
+        SELECT d.doc_id, v.tok_id
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) d
+        JOIN vocab v USING (tok)
+      ), funcs AS ({funcs})
+      SELECT doc_id, func_id, min((tok_id * mul + beta) % 2147483647) AS minhash
+      FROM ids, funcs
+      GROUP BY doc_id, func_id
+    """
+
+
+SQL_MINHASH = _sql_minhash()
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidates(_docs(spark, sf_dir))
+
+
+def _sql_lsh_candidates(bands: int = 4) -> str:
+    rpb = len(D.MINHASH_FUNCS) // bands
+    return f"""
+      WITH sig AS ({_sql_minhash()}),
+      band_key AS (
+        SELECT doc_id, CAST(func_id / {rpb} AS INT) AS band,
+               sum((func_id % {rpb} + 1) * minhash) AS band_key
+        FROM sig GROUP BY doc_id, CAST(func_id / {rpb} AS INT)
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band_key a JOIN band_key b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+SQL_LSH_CANDIDATES = _sql_lsh_candidates()
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH = """
+  WITH vocab AS (
+    SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+    FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
+  ), ids AS (
+    SELECT d.doc_id, (v.tok_id * 2654435761 + 1013904223) % 2147483647 AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) d
+    JOIN vocab v USING (tok)
+  ), bitsrc AS (
+    SELECT doc_id, bit, CAST(FLOOR(h / POWER(2, bit)) AS BIGINT) % 2 * 2 - 1 AS vote
+    FROM ids, (SELECT unnest(range(0, 32)) AS bit)
+  ), votes AS (
+    SELECT doc_id, bit, sum(vote) AS v FROM bitsrc GROUP BY doc_id, bit
+  )
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.langid(_docs(spark, sf_dir))
+
+
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_LANG_PROFILE = """
+  SELECT lang, source, count(*) AS n_docs,
+         round(avg(n_chars), 6) AS avg_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM documents GROUP BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ann_brute(emb)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ann_lsh(emb)
+
+
+# --------------------------------------------------------------------------
+# events (stream-table analytics)
+# --------------------------------------------------------------------------
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute window agg — the batch mirror of the
+    structured-streaming path (tin_terrain_spark.streaming)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # parquet ts is TIMESTAMP_NTZ; cast via TIMESTAMP (session TZ = UTC)
+    # to get epoch seconds identical to DuckDB's naive epoch()
+    ev = ev.withColumn("ts_s", F.col("ts").cast("timestamp").cast("double"))
+    return ev.groupBy(
+        F.floor(F.col("ts_s") / 300).cast("bigint").alias("win"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_WINDOW = """
+  SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS win, event_type,
+         count(*) AS n, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + running
+    sum (the classic window formulation)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_s", F.col("ts").cast("timestamp").cast("double")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_s") - F.lag(F.col("ts_s")).over(w)) > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return gapped.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+  WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), s AS (
+    SELECT user_id, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+    FROM g
+  )
+  SELECT user_id, sess_no, count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM s GROUP BY user_id, sess_no
+"""
+
+
+QUERIES_EXT = {
+    "pip": q_pip,
+    "knn_brute": q_knn_brute,
+    "knn_ring": q_knn_ring,
+    "exact_dedup": q_exact_dedup,
+    "minhash": q_minhash,
+    "lsh_candidates": q_lsh_candidates,
+    "simhash": q_simhash,
+    "text_stats": q_text_stats,
+    "fingerprints": q_fingerprints,
+    "langid": q_langid,
+    "lang_profile": q_lang_profile,
+    "ann_brute": q_ann_brute,
+    "ann_lsh": q_ann_lsh,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
+}
+
+ORACLES_EXT = {
+    "pip": SQL_PIP,
+    "knn_brute": SQL_KNN_BRUTE,
+    "knn_ring": SQL_KNN_BRUTE,  # the ring path must equal brute force
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash": SQL_MINHASH,
+    "lsh_candidates": SQL_LSH_CANDIDATES,
+    "simhash": SQL_SIMHASH,
+    "text_stats": T.sql_text_stats(),
+    "fingerprints": T.SQL_FINGERPRINTS,
+    "langid": T.sql_langid(),
+    "lang_profile": SQL_LANG_PROFILE,
+    "ann_brute": S.sql_ann_brute(),
+    # ann_lsh is approximate by design → rows-only + recall test
+    "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+}
