@@ -331,3 +331,69 @@ ORACLES_EXT = {
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
 }
+
+
+# --------------------------------------------------------------------------
+# multimodal + text round-trip invariant
+# --------------------------------------------------------------------------
+
+
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md per-row invariant: text through the html wrapper
+    round-trips byte-identically per page (md5-witnessed so the oracle
+    validates the same digests)."""
+    from .operators.multimodal import extract_text, synth_media
+
+    docs = _docs(spark, sf_dir)
+    media = synth_media(docs).select("doc_id", "html")
+    rt = extract_text(media).join(docs.select("doc_id", "text"), "doc_id")
+    return rt.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_orig"),
+        F.md5(F.col("text_rt")).alias("md5_rt"),
+        (F.col("text_rt") == F.col("text")).alias("identical"),
+    )
+
+
+SQL_TEXT_ROUNDTRIP = """
+  SELECT doc_id, md5(text) AS md5_orig, md5(text) AS md5_rt, TRUE AS identical
+  FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→feature plumbing (stub decode, real Spark
+    path) — rows-only check."""
+    from .operators.multimodal import image_features, synth_media
+
+    return image_features(synth_media(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(_docs(spark, sf_dir)))
+
+
+def q_tiles_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 OBJ sink: decode terrain blobs → OBJ text (rows-only)."""
+    from .operators.geocode import geocode_points
+    from .operators.meshing import mesh_tiles
+    from .operators.sinks import tiles_as_obj
+
+    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=5)
+    tiles = mesh_tiles(pts, zoom=1, method="terra", max_error=2.0)
+    return tiles_as_obj(tiles).select(
+        "zoom", "tile_x", "tile_y", "n_vertices", "n_faces", F.length("obj").alias("obj_len")
+    )
+
+
+QUERIES_EXT.update(
+    {
+        "text_roundtrip": q_text_roundtrip,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "tiles_obj": q_tiles_obj,
+    }
+)
+ORACLES_EXT["text_roundtrip"] = SQL_TEXT_ROUNDTRIP
