@@ -208,8 +208,24 @@ def clip_triangles_to_01_quadrant(triangles: np.ndarray) -> np.ndarray:
     line clips (bottom, right, top, left) then NaN purge
     (geometrix.cpp:739-781).
 
+    Fast path: triangles strictly inside (0,1)² pass every half-plane
+    test with sign<0 on all vertices, so all four clips keep them
+    verbatim — they skip the per-triangle Python path entirely. (This
+    reorders the output soup relative to the reference's in-place
+    order; triangle sets and counts are identical, and our correctness
+    gates are set/count/invariant-based.)
+
     triangles: (n,3,3). Returns (m,3,3)."""
-    tv = [[tuple(v) for v in tri] for tri in np.asarray(triangles, dtype=np.float64)]
+    triangles = np.asarray(triangles, dtype=np.float64)
+    if not len(triangles):
+        return np.zeros((0, 3, 3), dtype=np.float64)
+    xy = triangles[:, :, :2]
+    inside = ((xy > 0.0) & (xy < 1.0)).all(axis=(1, 2))
+    if inside.all():
+        return triangles
+    kept = triangles[inside]
+    rest = triangles[~inside]
+    tv = [[tuple(v) for v in tri] for tri in rest]
     for l_org, l_dir in (
         ((0.0, 0.0), (1.0, 0.0)),  # bottom, right-wards
         ((1.0, 0.0), (0.0, 1.0)),  # right, upwards
@@ -219,6 +235,9 @@ def clip_triangles_to_01_quadrant(triangles: np.ndarray) -> np.ndarray:
         for i in range(len(tv)):
             clip_triangle_by_line(tv, i, l_org, l_dir)
     out = [t for t in tv if not any(np.isnan(c) for p in t for c in p)]
-    if not out:
-        return np.zeros((0, 3, 3), dtype=np.float64)
-    return np.asarray(out, dtype=np.float64)
+    clipped = (
+        np.asarray(out, dtype=np.float64)
+        if out
+        else np.zeros((0, 3, 3), dtype=np.float64)
+    )
+    return np.concatenate([kept, clipped]) if len(kept) else clipped

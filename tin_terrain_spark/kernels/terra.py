@@ -38,6 +38,86 @@ from .geometry import tri_area
 from .raster import Grid, sample_nearest_valid_avg
 
 
+def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv: float):
+    """Vectorized scanline candidate search over one triangle.
+
+    Replicates the reference's exact row coverage (TerraMesh.cpp:109-167):
+    vertices y-sorted (stable), upper rows [v0y, v1y) walk edges
+    (v0→v1, v0→v2), lower rows [v1y, v2y] walk (v1→v2) with the
+    long-edge x restarting at v0x (the reference's quirk), per-row span
+    [ceil(min(x1,x2)), floor(max(x1,x2))]. Edge x's accumulate via
+    cumsum (sequential adds, like the C++ `x += dx`). Selection is
+    first-strict-max of |z - plane| over unused valid cells in
+    (row, col) scan order. Returns [x, y, z, importance]."""
+    pts = [points[0], points[1], points[2]]
+    if pts[0][1] > pts[1][1]:
+        pts[0], pts[1] = pts[1], pts[0]
+    if pts[1][1] > pts[2][1]:
+        pts[1], pts[2] = pts[2], pts[1]
+    if pts[0][1] > pts[1][1]:
+        pts[0], pts[1] = pts[1], pts[0]
+    (v0x, v0y), (v1x, v1y), (v2x, v2y) = pts
+
+    a, b, c = plane
+    dx2 = (v2x - v0x) / (v2y - v0y) if v2y != v0y else 0.0
+
+    ys_parts, x1_parts, x2_parts = [], [], []
+    if v1y != v0y:
+        dx1 = (v1x - v0x) / (v1y - v0y)
+        n = int(v1y) - int(v0y)
+        steps1 = np.full(n, dx1)
+        steps1[0] = v0x
+        steps2 = np.full(n, dx2)
+        steps2[0] = v0x
+        ys_parts.append(np.arange(int(v0y), int(v1y)))
+        x1_parts.append(np.cumsum(steps1))
+        x2_parts.append(np.cumsum(steps2))
+    if v2y != v1y:
+        dx1 = (v2x - v1x) / (v2y - v1y)
+        n = int(v2y) - int(v1y) + 1
+        steps1 = np.full(n, dx1)
+        steps1[0] = v1x
+        steps2 = np.full(n, dx2)
+        steps2[0] = v0x  # restart-at-v0x (TerraMesh.cpp:155-158)
+        ys_parts.append(np.arange(int(v1y), int(v2y) + 1))
+        x1_parts.append(np.cumsum(steps1))
+        x2_parts.append(np.cumsum(steps2))
+
+    best = [0, 0, 0.0, -np.inf]
+    if not ys_parts:
+        return best
+    ys = np.concatenate(ys_parts)
+    x1s = np.concatenate(x1_parts)
+    x2s = np.concatenate(x2_parts)
+
+    startx = np.ceil(np.minimum(x1s, x2s)).astype(np.int64)
+    endx = np.floor(np.maximum(x1s, x2s)).astype(np.int64)
+    lens = endx - startx + 1
+    keep = lens > 0
+    if not keep.any():
+        return best
+    ys, startx, lens = ys[keep], startx[keep], lens[keep]
+
+    cum = np.cumsum(lens)
+    total = int(cum[-1])
+    flat_y = np.repeat(ys, lens)
+    flat_x = np.arange(total) - np.repeat(cum - lens, lens) + np.repeat(startx, lens)
+
+    zv = src[flat_y, flat_x]
+    mask = (used[flat_y, flat_x] == 0) & ~(np.isnan(zv) | (zv == ndv))
+    if not mask.any():
+        return best
+    diff = np.abs(zv - (a * flat_x + b * flat_y + c))
+    diff = np.where(mask, diff, -np.inf)
+    k = int(np.argmax(diff))  # first max == strict-> selection in scan order
+    if diff[k] > best[3]:
+        best[0] = int(flat_x[k])
+        best[1] = int(flat_y[k])
+        best[2] = float(zv[k])
+        best[3] = float(diff[k])
+    return best
+
+
 class TerraMesh(DelaunayMesh):
     def __init__(self, grid: Grid):
         super().__init__()
@@ -64,32 +144,6 @@ class TerraMesh(DelaunayMesh):
 
     # -- candidate scan (TerraMesh.cpp:78-173) ----------------------------
 
-    def _scan_line(self, pa, pb, pc, y: int, x1: float, x2: float, best):
-        """Scan row y for the max |z - plane| cell among unused, valid
-        cells (TerraMesh.cpp:78-107). best = [x, y, z, importance]."""
-        startx = int(np.ceil(min(x1, x2)))
-        endx = int(np.floor(max(x1, x2)))
-        if startx > endx:
-            return
-        z = self.grid.z
-        ndv = self.grid.ndv
-        a, b, c = self._plane
-        xs = np.arange(startx, endx + 1)
-        z0 = a * xs + (b * y + c)
-        row = z[y, startx : endx + 1]
-        mask = (self.used[y, startx : endx + 1] == 0) & ~(
-            np.isnan(row) | (row == ndv)
-        )
-        if not mask.any():
-            return
-        diff = np.where(mask, np.abs(row - z0), -np.inf)
-        k = int(np.argmax(diff))
-        if diff[k] > best[3]:
-            best[0] = startx + k
-            best[1] = y
-            best[2] = row[k]
-            best[3] = diff[k]
-
     def scan_triangle(self, t: Triangle) -> None:
         p1, p2, p3 = self.face_points(t)
         z = self.grid.z
@@ -101,48 +155,16 @@ class TerraMesh(DelaunayMesh):
         a = (uz * vy - uy * vz) / den
         b = (ux * vz - uz * vx) / den
         c = v[0][2] - a * v[0][0] - b * v[0][1]
-        self._plane = (a, b, c)
 
-        # 3-element sort by y (TerraUtils.h:67-82)
-        pts = [p1, p2, p3]
-        if pts[0][1] > pts[1][1]:
-            pts[0], pts[1] = pts[1], pts[0]
-        if pts[1][1] > pts[2][1]:
-            pts[1], pts[2] = pts[2], pts[1]
-        if pts[0][1] > pts[1][1]:
-            pts[0], pts[1] = pts[1], pts[0]
-        (v0x, v0y), (v1x, v1y), (v2x, v2y) = pts
-
-        best = [0, 0, 0.0, -np.inf]
+        best = _scan_triangle_ranges(
+            (p1, p2, p3), (a, b, c), z, self.used, self.grid.ndv
+        )
         token = self.counter
         self.counter += 1
-
-        dx2 = (v2x - v0x) / (v2y - v0y) if v2y != v0y else 0.0
-
-        if v1y != v0y:
-            dx1 = (v1x - v0x) / (v1y - v0y)
-            x1 = x2 = v0x
-            for y in range(int(v0y), int(v1y)):
-                self._scan_line(None, None, None, y, x1, x2, best)
-                x1 += dx1
-                x2 += dx2
-
-        if v2y != v1y:
-            dx1 = (v2x - v1x) / (v2y - v1y)
-            # NOTE: x2 restarts at v0_x here — this mirrors the
-            # reference exactly (TerraMesh.cpp:155-158)
-            x1 = v1x
-            x2 = v0x
-            for y in range(int(v1y), int(v2y) + 1):
-                self._scan_line(None, None, None, y, x1, x2, best)
-                x1 += dx1
-                x2 += dx2
-
         # token write happens even when no candidate was found
         # (TerraMesh.cpp:168-172)
         self.token[best[1], best[0]] = token
-        imp = best[3] if np.isfinite(best[3]) else -np.inf
-        heapq.heappush(self.heap, (-imp, token, best[0], best[1], best[2], t))
+        heapq.heappush(self.heap, (-best[3], token, best[0], best[1], best[2], t))
 
     # -- greedy loop (TerraMesh.cpp:16-76) --------------------------------
 

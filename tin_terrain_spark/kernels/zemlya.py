@@ -162,35 +162,9 @@ class ZemlyaMesh(DelaunayMesh):
 
     # -- candidate scan (ZemlyaMesh.cpp:259-356) ---------------------------
 
-    def _scan_line(self, y: int, x1: float, x2: float, best) -> None:
-        startx = int(np.ceil(min(x1, x2)))
-        endx = int(np.floor(max(x1, x2)))
-        if startx > endx:
-            return
-        src = (
-            self.grid.z
-            if self.current_level == self.max_level
-            else self.insert_r
-        )
-        ndv = self.grid.ndv
-        a, b, c = self._plane
-        xs = np.arange(startx, endx + 1)
-        z0 = a * xs + (b * y + c)
-        row = src[y, startx : endx + 1]
-        mask = (self.used[y, startx : endx + 1] == 0) & ~(
-            np.isnan(row) | (row == ndv)
-        )
-        if not mask.any():
-            return
-        diff = np.where(mask, np.abs(row - z0), -np.inf)
-        k = int(np.argmax(diff))
-        if diff[k] > best[3]:
-            best[0] = startx + k
-            best[1] = y
-            best[2] = row[k]
-            best[3] = diff[k]
-
     def scan_triangle(self, t: Triangle) -> None:
+        from .terra import _scan_triangle_ranges
+
         p1, p2, p3 = self.face_points(t)
         # plane from m_result (inserted z values, ZemlyaMesh.cpp:295)
         r = self.result
@@ -201,41 +175,15 @@ class ZemlyaMesh(DelaunayMesh):
         a = (uz * vy - uy * vz) / den
         b = (ux * vz - uz * vx) / den
         c = v[0][2] - a * v[0][0] - b * v[0][1]
-        self._plane = (a, b, c)
 
-        pts = [p1, p2, p3]
-        if pts[0][1] > pts[1][1]:
-            pts[0], pts[1] = pts[1], pts[0]
-        if pts[1][1] > pts[2][1]:
-            pts[1], pts[2] = pts[2], pts[1]
-        if pts[0][1] > pts[1][1]:
-            pts[0], pts[1] = pts[1], pts[0]
-        (v0x, v0y), (v1x, v1y), (v2x, v2y) = pts
-
-        best = [0, 0, 0.0, -np.inf]
+        # candidate z source: raw raster on the final level, m_insert
+        # otherwise (ZemlyaMesh.cpp:279-280)
+        src = self.grid.z if self.current_level == self.max_level else self.insert_r
+        best = _scan_triangle_ranges((p1, p2, p3), (a, b, c), src, self.used, self.grid.ndv)
         token = self.counter
         self.counter += 1
-        dx2 = (v2x - v0x) / (v2y - v0y) if v2y != v0y else 0.0
-
-        if v1y != v0y:
-            dx1 = (v1x - v0x) / (v1y - v0y)
-            x1 = x2 = v0x
-            for y in range(int(v0y), int(v1y)):
-                self._scan_line(y, x1, x2, best)
-                x1 += dx1
-                x2 += dx2
-        if v2y != v1y:
-            dx1 = (v2x - v1x) / (v2y - v1y)
-            x1 = v1x
-            x2 = v0x  # restart-at-v0_x, as in the reference (:338-339)
-            for y in range(int(v1y), int(v2y) + 1):
-                self._scan_line(y, x1, x2, best)
-                x1 += dx1
-                x2 += dx2
-
         self.token[best[1], best[0]] = token
-        imp = best[3] if np.isfinite(best[3]) else -np.inf
-        heapq.heappush(self.heap, (-imp, token, best[0], best[1], best[2], t))
+        heapq.heappush(self.heap, (-best[3], token, best[0], best[1], best[2], t))
 
     # -- level loop (ZemlyaMesh.cpp:43-257) --------------------------------
 

@@ -248,13 +248,25 @@ def mesh_tiles(
     step: int = 1,
     compute_error: bool = False,
     encode_terrain: bool = True,
+    mesh_parallelism: int | None = None,
 ) -> DataFrame:
     """Full tile-meshing operator: geocoded points → tile records.
 
     Degenerate tiles (too sparse to carry information) still mesh —
     corner repair (TerraUtils.cpp:8-22) back-fills from the nearest
-    valid cells, exactly as the reference handles no-data regions."""
+    valid cells, exactly as the reference handles no-data regions.
+
+    The explicit repartition before the kernel matters: the cell grid
+    is only KBs after aggregation, so AQE would coalesce it to one
+    partition and serialize the CPU-heavy Python kernels behind it
+    (measured 3-5x slower). A user repartition by the group key is
+    respected by AQE, keeps the hash partitioning applyInPandas needs
+    (no extra shuffle), and sizes tasks by kernel cost, not bytes."""
     cells = cell_grid(points, zoom, grid_bits, buffer_cells)
+    spark = cells.sparkSession
+    if mesh_parallelism is None:
+        mesh_parallelism = spark.sparkContext.defaultParallelism
+    cells = cells.repartition(mesh_parallelism, "tile_x", "tile_y")
     kernel = _make_mesh_kernel(
         zoom, grid_bits, buffer_cells, method, max_error, step,
         compute_error, encode_terrain,
