@@ -72,6 +72,16 @@ def main():
 
     spark = get_spark("bench", cores=cores)
 
+    # warm-up: exercise codegen, the Arrow/pandas worker pool, and the
+    # mesh kernel import path once, so measurements are steady-state
+    # (JVM/worker spin-up is a per-session constant, not per-query cost)
+    from tin_terrain_spark.operators.geocode import geocode_points
+    from tin_terrain_spark.operators.meshing import mesh_tiles
+
+    warm_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    warm = geocode_points(warm_docs, zoom=1, grid_bits=5)
+    mesh_tiles(warm, zoom=1, method="terra", max_error=2.0).count()
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     tiles_meshed = 0
