@@ -63,6 +63,65 @@ def bench_queries():
     }
 
 
+def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: int = 6):
+    """The N-vs-4N scaling workload: compute-bound, fixed input.
+
+    Replicates the documents table `mult`x with fresh page ids (the
+    hash streams geocode every replica to a distinct location), then
+    runs the flagship pipeline at zoom 6 (4096 tiles) plus the heavy
+    relational operators. At sf0.1 x64 this is ~3.2M points and ~4k
+    Python mesh kernels — enough work per stage that wall-clock tracks
+    cores, as it would on a real cluster, instead of per-job constants.
+
+    Returns (tiles, knn_rows, seconds_by_phase).
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from tin_terrain_spark.operators.geocode import geocode_points
+    from tin_terrain_spark.operators.joins import knn_ring
+    from tin_terrain_spark.operators.meshing import mesh_tiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    big = (
+        docs.crossJoin(spark.range(mult).withColumnRenamed("id", "replica"))
+        .select((F.col("doc_id") * mult + F.col("replica")).alias("doc_id"))
+        # the small parquet reads as ONE partition; without this every
+        # map side downstream runs single-threaded
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    pts = geocode_points(big, zoom=zoom, grid_bits=grid_bits).persist()
+    pts.count()  # materialize once; all three phases reuse it
+
+    phases = {}
+    t0 = _time.time()
+    tiles = mesh_tiles(
+        pts, zoom=zoom, grid_bits=grid_bits, method="terra", max_error=2.0
+    ).count()
+    phases["mesh_terra"] = round(_time.time() - t0, 3)
+
+    t0 = _time.time()
+    queries = pts.filter(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
+    )
+    # the scale-path kNN (cell-ring join), not the brute window sort
+    # auto ring sizing from density; guarantee check + exact fallback
+    knn_rows = knn_ring(
+        pts.filter(F.col("doc_id") >= 64), queries, zoom, grid_bits, k=10
+    ).count()
+    phases["knn"] = round(_time.time() - t0, 3)
+
+    t0 = _time.time()
+    agg_rows = (
+        pts.groupBy("cell_x", "cell_y")
+        .agg(F.sum("z").alias("s"), F.count(F.lit(1)).alias("c"))
+        .count()
+    )
+    phases["cell_agg"] = round(_time.time() - t0, 3)
+    return tiles, knn_rows, agg_rows, phases
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))

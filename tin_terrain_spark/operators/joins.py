@@ -138,6 +138,11 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
     """
     cell_m = GX.tile_size_meters(zoom + grid_bits)
     pts = points.select("doc_id", "x", "y", "cell_x", "cell_y")
+    # the candidate join parallelizes over the big side's partitions —
+    # guard against single-partition inputs (e.g. one small parquet file)
+    parallelism = pts.sparkSession.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < parallelism:
+        pts = pts.repartition(parallelism)
     q = queries.select(
         "q_id",
         F.col("x").alias("qx"),
@@ -195,3 +200,90 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
     )
     leftover = knn_brute(pts, leftover_q, k)
     return done.unionAll(leftover)
+
+
+# unit CCW octagon (trig-free: exact double literals shared with the oracle)
+_OCT_S = 0.7071067811865476
+OCTAGON = [
+    (1.0, 0.0), (_OCT_S, _OCT_S), (0.0, 1.0), (-_OCT_S, _OCT_S),
+    (-1.0, 0.0), (-_OCT_S, -_OCT_S), (0.0, -1.0), (_OCT_S, -_OCT_S),
+]
+
+
+def convex_polygons_df(spark, n: int = 12, seed_base: int = 4242):
+    """Deterministic convex polygons (scaled octagons) as edge rows:
+    (poly_id, edge_id, ex1, ey1, ex2, ey2, pmin_x/pmax_x/pmin_y/pmax_y).
+    Edge rows instead of ring arrays keep the exact point-in-convex
+    test a plain join + min-cross aggregation (no UDF)."""
+    from pyspark.sql import functions as F
+
+    r = spark.range(n).withColumnRenamed("id", "poly_id")
+    cx = GX.mercator_x_sql(f"(poly_id + {seed_base})")
+    cy = GX.mercator_y_sql(f"(poly_id + {seed_base})")
+    rad = f"({GX.dlit(200000.0)} + {GX.dlit(2000000.0)} * {GX.u_hash_sql(f'(poly_id + {seed_base})', 'u3')})"
+    base = (
+        r.withColumn("cx", F.expr(cx))
+        .withColumn("cy", F.expr(cy))
+        .withColumn("rad", F.expr(rad))
+    )
+    edges = None
+    for i in range(len(OCTAGON)):
+        x1, y1 = OCTAGON[i]
+        x2, y2 = OCTAGON[(i + 1) % len(OCTAGON)]
+        e = base.select(
+            "poly_id",
+            F.lit(i).alias("edge_id"),
+            (F.col("cx") + F.col("rad") * x1).alias("ex1"),
+            (F.col("cy") + F.col("rad") * y1).alias("ey1"),
+            (F.col("cx") + F.col("rad") * x2).alias("ex2"),
+            (F.col("cy") + F.col("rad") * y2).alias("ey2"),
+            (F.col("cx") - F.col("rad")).alias("pmin_x"),
+            (F.col("cx") + F.col("rad")).alias("pmax_x"),
+            (F.col("cy") - F.col("rad")).alias("pmin_y"),
+            (F.col("cy") + F.col("rad")).alias("pmax_y"),
+        )
+        edges = e if edges is None else edges.unionAll(e)
+    return edges
+
+
+def convex_polygons_sql(n: int = 12, seed_base: int = 4242) -> str:
+    cx = GX.mercator_x_sql(f"(poly_id + {seed_base})")
+    cy = GX.mercator_y_sql(f"(poly_id + {seed_base})")
+    rad = f"({GX.dlit(200000.0)} + {GX.dlit(2000000.0)} * {GX.u_hash_sql(f'(poly_id + {seed_base})', 'u3')})"
+    corners = " UNION ALL ".join(
+        f"SELECT {i} AS edge_id, {GX.dlit(x1)} AS ox1, {GX.dlit(y1)} AS oy1, "
+        f"{GX.dlit(OCTAGON[(i + 1) % 8][0])} AS ox2, {GX.dlit(OCTAGON[(i + 1) % 8][1])} AS oy2"
+        for i, (x1, y1) in enumerate(OCTAGON)
+    )
+    return f"""
+      SELECT poly_id, edge_id,
+             cx + rad * ox1 AS ex1, cy + rad * oy1 AS ey1,
+             cx + rad * ox2 AS ex2, cy + rad * oy2 AS ey2,
+             cx - rad AS pmin_x, cx + rad AS pmax_x,
+             cy - rad AS pmin_y, cy + rad AS pmax_y
+      FROM (SELECT CAST(range AS BIGINT) AS poly_id, {cx} AS cx, {cy} AS cy, {rad} AS rad
+            FROM range({n})), ({corners})
+    """
+
+
+def pip_convex_join(points: DataFrame, poly_edges: DataFrame) -> DataFrame:
+    """Exact point-in-convex-polygon: a point is inside (boundary
+    inclusive, matching F3's inclusive rule) iff the cross product
+    against every CCW edge is >= 0 — join on the bbox prefilter, then
+    min-cross >= 0 via group-by-having. Pure Column math."""
+    j = points.join(
+        F.broadcast(poly_edges),
+        F.col("x").between(F.col("pmin_x"), F.col("pmax_x"))
+        & F.col("y").between(F.col("pmin_y"), F.col("pmax_y")),
+        "inner",
+    ).withColumn(
+        "cross",
+        (F.col("ex2") - F.col("ex1")) * (F.col("y") - F.col("ey1"))
+        - (F.col("ey2") - F.col("ey1")) * (F.col("x") - F.col("ex1")),
+    )
+    return (
+        j.groupBy("poly_id", "doc_id")
+        .agg(F.min("cross").alias("min_cross"), F.count(F.lit(1)).alias("n_edges"))
+        .filter((F.col("min_cross") >= 0) & (F.col("n_edges") == 8))
+        .select("poly_id", "doc_id")
+    )

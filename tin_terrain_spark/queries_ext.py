@@ -397,3 +397,62 @@ QUERIES_EXT.update(
     }
 )
 ORACLES_EXT["text_roundtrip"] = SQL_TEXT_ROUNDTRIP
+
+
+def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with true convex polygons (octagon rings): bbox prefilter +
+    exact min-cross refine."""
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    hits = J.pip_convex_join(pts, J.convex_polygons_df(spark))
+    return hits.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.min("doc_id").alias("first_doc")
+    )
+
+
+SQL_PIP_CONVEX = f"""
+  WITH pts AS ({_points_sql()}), edges AS ({J.convex_polygons_sql()}),
+  j AS (
+    SELECT e.poly_id, p.doc_id,
+           (e.ex2 - e.ex1) * (p.y - e.ey1) - (e.ey2 - e.ey1) * (p.x - e.ex1) AS cr
+    FROM pts p JOIN edges e
+      ON p.x BETWEEN e.pmin_x AND e.pmax_x AND p.y BETWEEN e.pmin_y AND e.pmax_y
+  ), inside AS (
+    SELECT poly_id, doc_id FROM j GROUP BY poly_id, doc_id
+    HAVING min(cr) >= 0 AND count(*) = 8
+  )
+  SELECT poly_id, count(*) AS n_hits, min(doc_id) AS first_doc
+  FROM inside GROUP BY poly_id
+"""
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard refine over the LSH candidates (threshold 0.5)."""
+    return D.near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _sql_near_dup_pairs(threshold: float = 0.5) -> str:
+    return f"""
+      WITH cand AS ({_sql_lsh_candidates()}),
+      tok_sets AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM tok_sets GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN tok_sets ta ON ta.doc_id = c.doc_a
+        JOIN tok_sets tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+      )
+      SELECT i.doc_a, i.doc_b, i.n_inter,
+             round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
+    """
+
+
+QUERIES_EXT.update({"pip_convex": q_pip_convex, "near_dup_pairs": q_near_dup_pairs})
+ORACLES_EXT["pip_convex"] = SQL_PIP_CONVEX
+ORACLES_EXT["near_dup_pairs"] = _sql_near_dup_pairs()
