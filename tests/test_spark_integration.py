@@ -193,3 +193,28 @@ def test_streaming_tile_ingest(spark):
         )
     finally:
         q.stop()
+
+
+def test_golden_tile_counts(spark, points):
+    """Frozen golden per-tile counts at sf0.001 zoom 2 (FIXTURES.md §4
+    tiles_golden): any change to geocoding, gridding, buffering, or the
+    mesh kernels that shifts tile assignment or mesh size trips this."""
+    import json
+    import os
+
+    from tin_terrain_spark.operators.meshing import mesh_tiles
+
+    with open(os.path.join(os.path.dirname(__file__), "golden_tiles_sf0001_z2.json")) as f:
+        golden = json.load(f)
+    for method, kw in [
+        ("terra", {"max_error": 2.0}),
+        ("zemlya", {"max_error": 2.0}),
+        ("dense", {"step": 2, "buffer_cells": 0}),
+    ]:
+        rows = (
+            mesh_tiles(points, zoom=2, grid_bits=5, method=method, **kw)
+            .select("tile_x", "tile_y", "n_points", "n_vertices", "n_faces")
+            .collect()
+        )
+        got = sorted([[r[0], r[1], r[2], r[3], r[4]] for r in rows])
+        assert got == golden[method], f"{method} golden mismatch"
