@@ -350,10 +350,16 @@ def q_zemlya_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dense_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense meshing IS oracle-checkable: with buffer 0 the kernel
+    meshes a fixed 32x32 grid, so vertex/face counts follow the closed
+    count law (BASELINE.md: faces = ceil((w-1)/step)*ceil((h-1)/step)*2)
+    and n_points/n_cells are plain aggregations — the oracle recomputes
+    all four in SQL."""
     pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS)
-    return mesh_tiles(
+    t = mesh_tiles(
         pts, zoom=2, grid_bits=GRID_BITS, method="dense", step=2, buffer_cells=0
-    ).drop("terrain")
+    )
+    return t.select("tile_x", "tile_y", "n_points", "n_cells", "n_vertices", "n_faces")
 
 
 MESH_QUERIES = {
@@ -361,3 +367,16 @@ MESH_QUERIES = {
     "zemlya_tiles": q_zemlya_tiles,
     "dense_tiles": q_dense_tiles,
 }
+
+# dense count law at grid_n=32, step=2: verts_per_row = (31//2)+1+1 = 17
+# → 289 vertices, 16*16*2 = 512 faces per tile (simple_meshing.cpp:115-125)
+_DENSE_POINTS_SQL = _points_sql(zoom=2)
+ORACLES["dense_tiles"] = f"""
+  SELECT tile_x, tile_y,
+         count(*) AS n_points,
+         CAST(count(DISTINCT (cell_x, cell_y)) AS INTEGER) AS n_cells,
+         CAST(289 AS INTEGER) AS n_vertices,
+         CAST(512 AS INTEGER) AS n_faces
+  FROM ({_DENSE_POINTS_SQL})
+  GROUP BY tile_x, tile_y
+"""
