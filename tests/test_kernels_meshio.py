@@ -153,3 +153,65 @@ def test_qm_32bit_index_path():
     assert len(t.u) > 65536
     assert len(t.faces) == len(tris)
     assert (t.faces < len(t.u)).all()
+
+
+def test_points2mesh_delaunay_property():
+    """M6: unconstrained Delaunay over random points — every triangle's
+    circumcircle is empty of other points (the Delaunay property, up to
+    the kernel's EPS bias) and the triangulation covers the hull."""
+    from tin_terrain_spark.kernels.geometry import in_circle
+    from tin_terrain_spark.kernels.points2mesh import generate_delaunay_mesh
+
+    rng = np.random.RandomState(42)
+    pts = np.column_stack([rng.rand(60) * 100, rng.rand(60) * 100, rng.rand(60)])
+    verts, faces = generate_delaunay_mesh(pts)
+    assert len(verts) == 60
+    assert len(faces) >= 60  # ~2n triangles for interior-dominated sets
+    # Delaunay property (with the reference's 1e-6 in-circle bias)
+    for f in faces[:: max(1, len(faces) // 40)]:
+        av, bv, cv = verts[f[0]], verts[f[1]], verts[f[2]]
+        for k, p in enumerate(verts):
+            if k in f:
+                continue
+            assert not in_circle(
+                av[0], av[1], bv[0], bv[1], cv[0], cv[1], p[0], p[1]
+            ), (f, k)
+    # area = convex hull area (no holes/overlaps)
+    area2 = 0.0
+    for f in faces:
+        av, bv, cv = verts[f[0]], verts[f[1]], verts[f[2]]
+        area2 += abs(
+            (bv[0] - av[0]) * (cv[1] - av[1]) - (bv[1] - av[1]) * (cv[0] - av[0])
+        )
+    def hull_area(p):
+        from functools import cmp_to_key
+        pts2 = sorted(map(tuple, p[:, :2]))
+        def half(pts2):
+            out = []
+            for q in pts2:
+                while len(out) >= 2 and (out[-1][0]-out[-2][0])*(q[1]-out[-2][1])-(out[-1][1]-out[-2][1])*(q[0]-out[-2][0]) <= 0:
+                    out.pop()
+                out.append(q)
+            return out
+        lo = half(pts2); hi = half(pts2[::-1])
+        hull = lo[:-1] + hi[:-1]
+        a = 0.0
+        for i in range(len(hull)):
+            x1, y1 = hull[i]; x2, y2 = hull[(i+1) % len(hull)]
+            a += x1*y2 - x2*y1
+        return abs(a)
+    assert abs(area2 / 2.0 - hull_area(verts) / 2.0) < 1e-6 * hull_area(verts)
+
+
+def test_points2mesh_duplicates_and_small():
+    from tin_terrain_spark.kernels.points2mesh import generate_delaunay_mesh
+
+    v, f = generate_delaunay_mesh(np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 2.0]]))
+    assert len(f) == 0
+    v, f = generate_delaunay_mesh(
+        np.array([[0, 0, 1], [1, 0, 2], [0, 1, 3], [0, 0, 9]], dtype=float)
+    )
+    assert len(v) == 3  # duplicate (0,0) dropped, first z kept
+    z_at_origin = {(p[0], p[1]): p[2] for p in v}[(0.0, 0.0)]
+    assert z_at_origin == 1.0
+    assert len(f) == 1
