@@ -43,13 +43,11 @@ def generate_tin_dense_quadwalk(grid: Grid, step: int = 1):
     zz = grid.z[np.ix_(rows, cols)].astype(np.float64).copy()
     bad_r, bad_c = np.nonzero(is_no_data(zz, grid.ndv))
     if len(bad_r):
-        from .raster import _subsample_3x3_full
+        from .raster import nearest_valid_avg_batch
 
-        plane = _subsample_3x3_full(grid.z, grid.ndv)
-        for r, c in zip(bad_r, bad_c):
-            zz[r, c] = sample_nearest_valid_avg(
-                grid, int(rows[r]), int(cols[c]), subsampled=plane
-            )
+        zz[bad_r, bad_c] = nearest_valid_avg_batch(
+            grid, rows[bad_r], cols[bad_c]
+        )
 
     xs = grid.col2x(cols)
     ys = grid.row2y(rows)

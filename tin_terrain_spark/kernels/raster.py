@@ -232,3 +232,56 @@ def _circle_offsets(radius: int) -> np.ndarray:
 def count_value(grid: Grid, v: float) -> int:
     """Raster::count (Raster.h:162-174)."""
     return int((grid.z == v).sum())
+
+
+def nearest_valid_avg_batch(
+    grid: Grid, rows: np.ndarray, cols: np.ndarray, min_samples: int = 1
+) -> np.ndarray:
+    """Vectorized sample_nearest_valid_avg for MANY cells of one grid:
+    identical per-cell results (same circle order, same 64-sample cap),
+    but the radius loop advances all unresolved cells simultaneously.
+    Used by the dense mesher where hundreds of sampled vertices can be
+    no-data on sparse web-point tiles."""
+    z = grid.z
+    ndv = grid.ndv
+    h, w = z.shape
+    n = len(rows)
+    out = np.full(n, np.nan)
+
+    direct = z[rows, cols]
+    ok = ~(np.isnan(direct) | (direct == ndv))
+    out[ok] = direct[ok]
+    todo = np.nonzero(~ok)[0]
+    if not len(todo):
+        return out
+
+    plane = _subsample_3x3_full(z, ndv)
+    min_samples = min(min_samples, MAX_AVERAGING_SAMPLES)
+    sums = np.zeros(len(todo))
+    counts = np.zeros(len(todo), dtype=np.int64)
+
+    max_radius = int(np.sqrt(w * w + h * h))
+    active = np.arange(len(todo))
+    for radius in range(2, max_radius + 1):
+        if not len(active):
+            break
+        offs = _circle_offsets(radius)  # (m, 2) in putpixel order
+        rr = rows[todo[active], None] + offs[None, :, 1] + 1
+        cc = cols[todo[active], None] + offs[None, :, 0] + 1
+        inb = (rr >= 0) & (rr < h + 2) & (cc >= 0) & (cc < w + 2)
+        vals = np.full(rr.shape, np.nan)
+        vals[inb] = plane[rr[inb], cc[inb]]
+        good = ~(np.isnan(vals) | (vals == ndv))
+        # 64-sample cap in circle order: zero out samples beyond the cap
+        room = MAX_AVERAGING_SAMPLES - counts[active]
+        order_idx = np.cumsum(good, axis=1)  # 1-based rank per sample
+        good &= order_idx <= room[:, None]
+        sums[active] += np.where(good, vals, 0.0).sum(axis=1)
+        counts[active] += good.sum(axis=1)
+        active = active[counts[active] < min_samples]
+
+    has = counts > 0
+    res = np.full(len(todo), np.nan)
+    res[has] = sums[has] / counts[has]
+    out[todo] = res
+    return out
