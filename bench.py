@@ -151,6 +151,10 @@ def main():
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         dt = time.time() - t0
+        # isolation: drop caches a query may have left behind (e.g.
+        # knn_ring's top-k persist) so later queries aren't measured
+        # under another query's memory pressure
+        spark.catalog.clearCache()
         times[name] = round(dt, 3)
         rows[name] = n
         if cat == "mesh":

@@ -218,3 +218,32 @@ def test_golden_tile_counts(spark, points):
         )
         got = sorted([[r[0], r[1], r[2], r[3], r[4]] for r in rows])
         assert got == golden[method], f"{method} golden mismatch"
+
+
+def test_streaming_stateful_sessionize(spark):
+    """applyInPandasWithState sessionizer: replaying the whole events
+    table in one micro-batch must produce the same (user, n_events,
+    sum_value) session multiset as the batch lag/cumsum sessionizer."""
+    from tin_terrain_spark.queries_ext import q_sessionize
+    from tin_terrain_spark.streaming.sessionize import stream_sessionize
+
+    out = stream_sessionize(spark, SF)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT user_id, n_events, round(sum_value, 6) AS sv FROM sess_state"
+        ).collect()
+    finally:
+        q.stop()
+    stream_sessions = sorted((r["user_id"], r["n_events"], r["sv"]) for r in got)
+    batch = q_sessionize(spark, SF).collect()
+    batch_sessions = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"]) for r in batch
+    )
+    assert stream_sessions == batch_sessions
