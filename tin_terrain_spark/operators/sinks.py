@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType
 
@@ -39,8 +40,6 @@ def write_tile_tree(tiles: DataFrame, out_dir: str) -> int:
 
 
 def _decode_format_udf(fmt: str):
-    import pandas as pd
-
     @F.pandas_udf(StringType())
     def decode_format(terrain: pd.Series) -> pd.Series:
         import numpy as np
