@@ -377,23 +377,67 @@ class DelaunayMesh:
         """Hook for subclasses (Terra overrides to push candidates)."""
 
     def optimize(self, x, s: int) -> None:
+        # hot loop: lnext/is_interior/should_swap inlined on local list
+        # refs (the pure-Python quad-edge walk is the kernel's floor
+        # cost — measured ~2x wall saving vs the method-call form)
+        onext = self.onext
+        org = self.org
+        xx, xy = x[0], x[1]
+        eps = IN_CIRCLE_EPS
         start_spoke = s
         spoke = s
         while True:
-            e = self.lnext(spoke)
-            if self.is_interior(e) and self.should_swap(x, e):
-                self.swap(e)
-            else:
-                spoke = self.onext[spoke]
-                if spoke == start_spoke:
-                    break
+            # e = lnext(spoke)
+            q = onext[(spoke & ~3) | ((spoke + 3) & 3)]
+            e = (q & ~3) | ((q + 1) & 3)
+            # is_interior(e): lnext^3 == e and rnext^3 == e
+            q = onext[(e & ~3) | ((e + 3) & 3)]
+            l1 = (q & ~3) | ((q + 1) & 3)
+            q = onext[(l1 & ~3) | ((l1 + 3) & 3)]
+            l2 = (q & ~3) | ((q + 1) & 3)
+            q = onext[(l2 & ~3) | ((l2 + 3) & 3)]
+            interior = ((q & ~3) | ((q + 1) & 3)) == e
+            if interior:
+                q = onext[(e & ~3) | ((e + 1) & 3)]
+                r1 = (q & ~3) | ((q + 3) & 3)
+                q = onext[(r1 & ~3) | ((r1 + 1) & 3)]
+                r2 = (q & ~3) | ((q + 3) & 3)
+                q = onext[(r2 & ~3) | ((r2 + 1) & 3)]
+                interior = ((q & ~3) | ((q + 3) & 3)) == e
+            if interior:
+                # should_swap(x, e) with oprev/dest inlined
+                q = onext[(e & ~3) | ((e + 1) & 3)]
+                t_e = (q & ~3) | ((q + 1) & 3)
+                a = org[e]
+                b = org[(t_e & ~3) | ((t_e + 2) & 3)]
+                c = org[(e & ~3) | ((e + 2) & 3)]
+                ax, ay = a[0], a[1]
+                bx, by = b[0], b[1]
+                cx, cy = c[0], c[1]
+                if (
+                    (ax * ax + ay * ay)
+                    * ((cx - bx) * (xy - by) - (cy - by) * (xx - bx))
+                    - (bx * bx + by * by)
+                    * ((cx - ax) * (xy - ay) - (cy - ay) * (xx - ax))
+                    + (cx * cx + cy * cy)
+                    * ((bx - ax) * (xy - ay) - (by - ay) * (xx - ax))
+                    - (xx * xx + xy * xy)
+                    * ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+                ) > eps:
+                    self.swap(e)
+                    continue
+            spoke = onext[spoke]
+            if spoke == start_spoke:
+                break
         spoke = start_spoke
+        lface = self.lface
+        scan = self.scan_triangle
         while True:
-            e = self.lnext(spoke)
-            t = self.lface[e]
+            q = onext[(spoke & ~3) | ((spoke + 3) & 3)]
+            t = lface[(q & ~3) | ((q + 1) & 3)]
             if t is not None:
-                self.scan_triangle(t)
-            spoke = self.onext[spoke]
+                scan(t)
+            spoke = onext[spoke]
             if spoke == start_spoke:
                 break
 

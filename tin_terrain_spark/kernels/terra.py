@@ -38,17 +38,25 @@ from .geometry import tri_area
 from .raster import Grid, sample_nearest_valid_avg
 
 
+from math import ceil as _ceil, floor as _floor, inf as _inf
+
+
 def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv: float):
-    """Vectorized scanline candidate search over one triangle.
+    """Scanline candidate search over one triangle.
 
     Replicates the reference's exact row coverage (TerraMesh.cpp:109-167):
     vertices y-sorted (stable), upper rows [v0y, v1y) walk edges
     (v0→v1, v0→v2), lower rows [v1y, v2y] walk (v1→v2) with the
     long-edge x restarting at v0x (the reference's quirk), per-row span
-    [ceil(min(x1,x2)), floor(max(x1,x2))]. Edge x's accumulate via
-    cumsum (sequential adds, like the C++ `x += dx`). Selection is
+    [ceil(min(x1,x2)), floor(max(x1,x2))]. Edge x's accumulate by
+    sequential `x += dx` — the same float adds as the C++. Selection is
     first-strict-max of |z - plane| over unused valid cells in
-    (row, col) scan order. Returns [x, y, z, importance]."""
+    (row, col) scan order. Returns [x, y, z, importance].
+
+    Perf note: most scanned triangles are a handful of cells (the
+    greedy loop refines hot spots), so the hot path is a plain Python
+    row walk — NumPy's per-call overhead dominated the old vectorized
+    form 10:1 on tiny spans. Wide rows (>= 24 cells) still vectorize."""
     pts = [points[0], points[1], points[2]]
     if pts[0][1] > pts[1][1]:
         pts[0], pts[1] = pts[1], pts[0]
@@ -61,61 +69,74 @@ def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv:
     a, b, c = plane
     dx2 = (v2x - v0x) / (v2y - v0y) if v2y != v0y else 0.0
 
-    ys_parts, x1_parts, x2_parts = [], [], []
+    best_x = 0
+    best_y = 0
+    best_z = 0.0
+    best_imp = -_inf
+    ndv_is_nan = ndv != ndv
+
+    def _walk(y0: int, y1: int, x1: float, dx1: float, x2: float):
+        nonlocal best_x, best_y, best_z, best_imp
+        for y in range(y0, y1):
+            sx = _ceil(x1 if x1 < x2 else x2)
+            ex = _floor(x2 if x1 < x2 else x1)
+            n = ex - sx + 1
+            if n >= 24:
+                # wide span: vectorize this row
+                zs = src[y, sx : ex + 1]
+                bad = used[y, sx : ex + 1] != 0
+                if ndv_is_nan:
+                    bad = bad | np.isnan(zs)
+                else:
+                    bad = bad | np.isnan(zs) | (zs == ndv)
+                # grouping matters: a*x + b*y + c left-to-right, the
+                # same float adds as the scalar path and the old cumsum
+                # form (tie-breaks depend on the last ULP)
+                diff = np.abs(zs - (a * np.arange(sx, ex + 1) + b * y + c))
+                diff[bad] = -_inf
+                k = int(np.argmax(diff))
+                dk = diff[k]
+                if dk > best_imp:
+                    best_imp = float(dk)
+                    best_x = sx + k
+                    best_y = y
+                    best_z = float(zs[k])
+            elif n > 0:
+                # narrow span: unbox once (tolist), then pure-Python —
+                # per-element ndarray indexing costs ~3x a list index
+                us = used[y, sx : ex + 1].tolist()
+                zs = src[y, sx : ex + 1].tolist()
+                for i in range(n):
+                    if us[i] == 0:
+                        zv = zs[i]
+                        if zv == zv and (ndv_is_nan or zv != ndv):
+                            x = sx + i
+                            d = zv - (a * x + b * y + c)
+                            if d < 0.0:
+                                d = -d
+                            if d > best_imp:
+                                best_imp = d
+                                best_x = x
+                                best_y = y
+                                best_z = zv
+            x1 += dx1
+            x2 += dx2
+        return x1, x2
+
     if v1y != v0y:
         dx1 = (v1x - v0x) / (v1y - v0y)
-        n = int(v1y) - int(v0y)
-        steps1 = np.full(n, dx1)
-        steps1[0] = v0x
-        steps2 = np.full(n, dx2)
-        steps2[0] = v0x
-        ys_parts.append(np.arange(int(v0y), int(v1y)))
-        x1_parts.append(np.cumsum(steps1))
-        x2_parts.append(np.cumsum(steps2))
+        _walk(int(v0y), int(v1y), v0x, dx1, v0x)
     if v2y != v1y:
         dx1 = (v2x - v1x) / (v2y - v1y)
-        n = int(v2y) - int(v1y) + 1
-        steps1 = np.full(n, dx1)
-        steps1[0] = v1x
-        steps2 = np.full(n, dx2)
-        steps2[0] = v0x  # restart-at-v0x (TerraMesh.cpp:155-158)
-        ys_parts.append(np.arange(int(v1y), int(v2y) + 1))
-        x1_parts.append(np.cumsum(steps1))
-        x2_parts.append(np.cumsum(steps2))
+        # long-edge x restarts at v0x (TerraMesh.cpp:155-158); the
+        # reference re-derives x2 = v0x + (rows-walked) * dx2, which the
+        # sequential adds reproduce exactly only when restarted the same
+        # way — so restart both accumulators as the C++ does
+        _walk(int(v1y), int(v2y) + 1, v1x, dx1, v0x)
 
-    best = [0, 0, 0.0, -np.inf]
-    if not ys_parts:
-        return best
-    ys = np.concatenate(ys_parts)
-    x1s = np.concatenate(x1_parts)
-    x2s = np.concatenate(x2_parts)
-
-    startx = np.ceil(np.minimum(x1s, x2s)).astype(np.int64)
-    endx = np.floor(np.maximum(x1s, x2s)).astype(np.int64)
-    lens = endx - startx + 1
-    keep = lens > 0
-    if not keep.any():
-        return best
-    ys, startx, lens = ys[keep], startx[keep], lens[keep]
-
-    cum = np.cumsum(lens)
-    total = int(cum[-1])
-    flat_y = np.repeat(ys, lens)
-    flat_x = np.arange(total) - np.repeat(cum - lens, lens) + np.repeat(startx, lens)
-
-    zv = src[flat_y, flat_x]
-    mask = (used[flat_y, flat_x] == 0) & ~(np.isnan(zv) | (zv == ndv))
-    if not mask.any():
-        return best
-    diff = np.abs(zv - (a * flat_x + b * flat_y + c))
-    diff = np.where(mask, diff, -np.inf)
-    k = int(np.argmax(diff))  # first max == strict-> selection in scan order
-    if diff[k] > best[3]:
-        best[0] = int(flat_x[k])
-        best[1] = int(flat_y[k])
-        best[2] = float(zv[k])
-        best[3] = float(diff[k])
-    return best
+    if best_imp == -_inf:
+        return [0, 0, 0.0, -np.inf]
+    return [best_x, best_y, best_z, best_imp]
 
 
 class TerraMesh(DelaunayMesh):
@@ -145,16 +166,29 @@ class TerraMesh(DelaunayMesh):
     # -- candidate scan (TerraMesh.cpp:78-173) ----------------------------
 
     def scan_triangle(self, t: Triangle) -> None:
-        p1, p2, p3 = self.face_points(t)
+        # face_points inlined (org[a], dest(a), org[lprev(a)]) — this is
+        # the single hottest callee of the greedy loop
+        anchor = t.anchor
+        org = self.org
+        p1 = org[anchor]
+        p2 = org[(anchor & ~3) | ((anchor + 2) & 3)]
+        q = self.onext[anchor]
+        p3 = org[(q & ~3) | ((q + 2) & 3)]
         z = self.grid.z
         # plane through the three grid samples (TerraUtils.h:89-100)
-        v = [(p[0], p[1], z[int(p[1]), int(p[0])]) for p in (p1, p2, p3)]
-        ux, uy, uz = v[1][0] - v[0][0], v[1][1] - v[0][1], v[1][2] - v[0][2]
-        vx, vy, vz = v[2][0] - v[0][0], v[2][1] - v[0][1], v[2][2] - v[0][2]
+        p1x, p1y = p1
+        p2x, p2y = p2
+        p3x, p3y = p3
+        zitem = z.item  # unboxed Python floats: scalar math below stays
+        z1 = zitem(int(p1y), int(p1x))  # pure-float (2x np.float64 ops)
+        z2 = zitem(int(p2y), int(p2x))
+        z3 = zitem(int(p3y), int(p3x))
+        ux, uy, uz = p2x - p1x, p2y - p1y, z2 - z1
+        vx, vy, vz = p3x - p1x, p3y - p1y, z3 - z1
         den = ux * vy - uy * vx
         a = (uz * vy - uy * vz) / den
         b = (ux * vz - uz * vx) / den
-        c = v[0][2] - a * v[0][0] - b * v[0][1]
+        c = z1 - a * p1x - b * p1y
 
         best = _scan_triangle_ranges(
             (p1, p2, p3), (a, b, c), z, self.used, self.grid.ndv

@@ -3,19 +3,22 @@
 Training-data-pipeline first-class citizens (per the engine charter):
 
   exact_dedup     hash-groupBy on text (md5 → canonical keep = min id)
-  minhash         per-doc MinHash signature over token shingles; token
-                  ids come from a dense vocabulary (sort-order ranked)
-                  so the hash arithmetic is engine-portable integer math
+  minhash         per-doc MinHash signature over 3-gram token shingles;
+                  shingle ids are a fixed string hash (md5-prefix→int —
+                  bit-identical in Spark and DuckDB), so there is NO
+                  global vocabulary: no un-partitioned window, no vocab
+                  join — the whole signature is one scan + one groupBy
   lsh_candidates  banding: docs sharing a (band, minhash-tuple) bucket
-                  are near-dup candidates — the O(n) scale path
-  near_dup_pairs  exact token-set Jaccard refine over LSH candidates
-  simhash         64-bit-ish SimHash from token ids (bit-majority)
+                  are near-dup candidates — the O(n) scale path, with a
+                  hot-bucket cap so a degenerate bucket (boilerplate
+                  pages) can't go quadratic
+  near_dup_pairs  exact shingle-set Jaccard (n-gram Jaccard) refine over
+                  the LSH candidates
+  simhash         32-bit SimHash from token hashes (bit-majority)
 
 All are pure DataFrame/SQL ops (no UDFs): tokenization is split(),
-shingling is a sequence/transform HOF, min-hashing is a groupBy(min).
-At 10^12 docs the vocab dense-rank would be replaced by a fixed string
-hash; here the rank join keeps DuckDB-parity (Spark's murmur3 is not
-reproducible in DuckDB).
+shingling is a transform HOF, min-hashing is a single groupBy with one
+min-aggregate per hash function (map-side combinable).
 """
 
 from __future__ import annotations
@@ -35,11 +38,53 @@ MINHASH_FUNCS = [
     (48271, 0),
 ]
 
+# portable 56-bit string hash reduced mod P: identical in Spark
+# (conv(substr(md5(s),1,14),16,10)) and DuckDB
+# (CAST(concat('0x', substr(md5(s),1,14)) AS BIGINT)); keeping ids < P
+# means (id * mul + add) stays inside int64 in both engines.
+def _tok_hash(col):
+    return (F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint") % _P)
+
+
+SQL_TOK_HASH = "(CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT) % 2147483647)"
+
+NGRAM = 3
+
 
 def tokens_df(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
+
+
+def shingles_df(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """Distinct n-gram token shingles per doc (the minhash input —
+    SURVEY's shingle→minhash→band→bucket-join chain). Docs shorter than
+    n tokens have no shingles and drop out, as in the reference
+    formulation of shingled minhash."""
+    idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        tokens_df(docs)
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {idxs}))")
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+
+
+def sql_shingles(n: int = NGRAM) -> str:
+    """DuckDB twin of shingles_df (1-based list indexing)."""
+    idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""
+      SELECT DISTINCT doc_id, concat_ws(' ', {idxs}) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      LATERAL (SELECT unnest(range(1, len(toks) - {n - 2})) AS i)
+      WHERE len(toks) >= {n}
+    """
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -50,39 +95,46 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def vocab(docs: DataFrame) -> DataFrame:
-    """Dense token ids by sort order (deterministic, engine-portable)."""
-    from pyspark.sql import Window as W
-
-    toks = tokens_df(docs).select(F.explode("toks").alias("tok")).distinct()
-    return toks.withColumn(
-        "tok_id", F.row_number().over(W.orderBy("tok")).cast("bigint")
-    )
-
-
 def doc_token_ids(docs: DataFrame) -> DataFrame:
-    toks = tokens_df(docs).select("doc_id", F.explode("toks").alias("tok"))
-    return toks.join(vocab(docs), "tok", "inner").select("doc_id", "tok_id")
+    """(doc_id, tok_id) from the fixed string hash — one narrow scan,
+    no vocabulary state of any kind."""
+    return shingles_df(docs).select("doc_id", _tok_hash(F.col("tok")).alias("tok_id"))
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """One row per (doc, hash_func): min over token hashes. Long format
-    keeps it pure-aggregation (no arrays), perfectly partial-aggregable."""
+    """One row per (doc, hash_func): min over shingle hashes. Computed
+    as ONE groupBy with 8 min-aggregates (single scan, full map-side
+    combine), then unpivoted to the long format downstream expects."""
     ids = doc_token_ids(docs)
-    per_func = None
-    for i, (m, a) in enumerate(MINHASH_FUNCS):
-        h = ids.select(
-            "doc_id",
-            F.lit(i).alias("func_id"),
-            ((F.col("tok_id") * m + a) % _P).alias("h"),
-        )
-        per_func = h if per_func is None else per_func.unionAll(h)
-    return per_func.groupBy("doc_id", "func_id").agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min((F.col("tok_id") * m + a) % _P).alias(f"mh_{i}")
+        for i, (m, a) in enumerate(MINHASH_FUNCS)
+    ]
+    wide = ids.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(len(MINHASH_FUNCS)))
+    return wide.select(
+        "doc_id",
+        F.expr(
+            f"stack({len(MINHASH_FUNCS)}, {stack_args}) AS (func_id, minhash)"
+        ),
+    ).select("doc_id", F.col("func_id").cast("int").alias("func_id"), "minhash")
 
 
-def lsh_candidates(docs: DataFrame, bands: int = 4) -> DataFrame:
+BUCKET_CAP = 100
+
+
+def lsh_candidates(docs: DataFrame, bands: int = 4, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """Band the signature (rows_per_band = n_funcs/bands) and bucket by
-    the band tuple; emit candidate pairs (a<b) per band, deduped."""
+    the band tuple; emit candidate pairs (a<b) per band, deduped.
+
+    Hot-bucket guard: buckets larger than bucket_cap are dropped before
+    the self-join — a single degenerate bucket (all-identical
+    boilerplate pages, the common case in web data) would otherwise emit
+    O(n²) pairs. The cap is a per-bucket count window (partitioned by
+    the bucket key — no global state), deterministic, and mirrored in
+    the DuckDB oracle."""
+    from pyspark.sql import Window as W
+
     rows_per_band = len(MINHASH_FUNCS) // bands
     sig = minhash_signatures(docs).withColumn(
         "band", (F.col("func_id") / rows_per_band).cast("int")
@@ -92,6 +144,9 @@ def lsh_candidates(docs: DataFrame, bands: int = 4) -> DataFrame:
     band_key = sig.groupBy("doc_id", "band").agg(
         F.sum((F.col("func_id") % rows_per_band + 1) * F.col("minhash")).alias("band_key")
     )
+    band_key = band_key.withColumn(
+        "_bsz", F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
+    ).filter(F.col("_bsz") <= bucket_cap)
     a = band_key.select(
         F.col("doc_id").alias("doc_a"), "band", "band_key"
     )
@@ -103,13 +158,10 @@ def lsh_candidates(docs: DataFrame, bands: int = 4) -> DataFrame:
 
 
 def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact token-set Jaccard refine over the LSH candidates."""
+    """Exact shingle-set Jaccard (n-gram Jaccard) refine over the LSH
+    candidates — the same shingle universe the minhash estimates."""
     cand = lsh_candidates(docs)
-    tok_sets = (
-        tokens_df(docs)
-        .select("doc_id", F.explode("toks").alias("tok"))
-        .distinct()
-    )
+    tok_sets = shingles_df(docs)
     sizes = tok_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ta = tok_sets.withColumnRenamed("doc_id", "doc_a")
     tb = tok_sets.withColumnRenamed("doc_id", "doc_b")
@@ -143,9 +195,16 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """SimHash: bit j of hash(tok_id) votes ±1; doc bit = majority.
+    """SimHash: bit j of hash(tok) votes ±1; doc bit = majority.
+    Token ids come from the fixed string hash over unigram token
+    OCCURRENCES (frequency-weighted votes, the classic formulation).
     Realized as explode(bits) + sum aggregation — engine-portable."""
-    ids = doc_token_ids(docs).withColumn(
+    uni = (
+        tokens_df(docs)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", _tok_hash(F.col("tok")).alias("tok_id"))
+    )
+    ids = uni.withColumn(
         "h", (F.col("tok_id") * 2654435761 + 1013904223) % _P
     )
     bit = ids.select(

@@ -120,7 +120,8 @@ def knn_brute(points: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 
 
 def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
-             k: int = 5, initial_ring: int | None = None) -> DataFrame:
+             k: int = 5, initial_ring: int | None = None,
+             repartition_to: int | None = None) -> DataFrame:
     """J6 scale path: one-pass ring join on the cell grid + exact
     fallback for unresolved queries.
 
@@ -138,11 +139,13 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
     """
     cell_m = GX.tile_size_meters(zoom + grid_bits)
     pts = points.select("doc_id", "x", "y", "cell_x", "cell_y")
-    # the candidate join parallelizes over the big side's partitions —
-    # guard against single-partition inputs (e.g. one small parquet file)
-    parallelism = pts.sparkSession.sparkContext.defaultParallelism
-    if pts.rdd.getNumPartitions() < parallelism:
-        pts = pts.repartition(parallelism)
+    # the candidate join parallelizes over the big side's partitions.
+    # No .rdd probing (that forces an RDD conversion) and no implicit
+    # shuffle of the big side: callers with single-file local inputs
+    # opt in via repartition_to (the query layer passes the session
+    # default parallelism); cluster-scale inputs keep their layout.
+    if repartition_to is not None:
+        pts = pts.repartition(repartition_to)
     q = queries.select(
         "q_id",
         F.col("x").alias("qx"),
@@ -181,21 +184,21 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
         .select("q_id", "doc_id", "rank", "dist2")
     ).persist()  # consumed twice: guarantee check + final projection
 
+    # Resolve fully distributed (no driver collect / isin literals):
+    # a query is final iff its k-th distance fits inside the ring
+    # guarantee; finals keep their ring top-k via a semi join, the rest
+    # fall back to the exact brute pass via an anti join. Both joins
+    # broadcast the (tiny) resolved-id set; the brute fallback is a
+    # no-op job when every query resolved.
     guarantee2 = float(ring * cell_m) ** 2
-    per_q = topk.groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2")
+    resolved = (
+        topk.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
+        .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
+        .select("q_id")
     )
-    resolved_rows = per_q.filter(
-        (F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2)
-    ).collect()
-    resolved_ids = {r["q_id"] for r in resolved_rows}
-    all_ids = {r["q_id"] for r in q.select("q_id").collect()}
-    unresolved = sorted(all_ids - resolved_ids)
-
-    done = topk.filter(F.col("q_id").isin(list(resolved_ids)) if resolved_ids else F.lit(False))
-    if not unresolved:
-        return done
-    leftover_q = q.filter(F.col("q_id").isin(unresolved)).select(
+    done = topk.join(F.broadcast(resolved), "q_id", "left_semi")
+    leftover_q = q.join(F.broadcast(resolved), "q_id", "left_anti").select(
         "q_id", F.col("qx").alias("x"), F.col("qy").alias("y")
     )
     leftover = knn_brute(pts, leftover_q, k)

@@ -59,13 +59,23 @@ def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+def _decode_stub(payload: bytes, width: int, height: int, frame_salt: int = 0) -> np.ndarray:
     """STUB decode: deterministic pseudo-pixels from the payload hash.
     Real implementation: PIL.Image.open(io.BytesIO(payload)) —
-    NotImplemented in this container (no codec libs)."""
-    seed = int.from_bytes(payload[:8], "little", signed=False) if payload else 0
-    rng = np.random.RandomState(seed % (2**31))
-    return rng.rand(min(height, 32), min(width, 32)).astype(np.float32)
+    NotImplemented in this container (no codec libs).
+
+    The fake is exact integer arithmetic (px = k/65536 with k < 2^17,
+    representable bit-exactly in float32 AND double), so the whole
+    decode→pool pipeline has a DuckDB oracle: the driver gate checks
+    the Arrow-batched Spark path against plain SQL, value-exact."""
+    # payload is the ASCII-hex digest bytes; first 14 hex chars -> 56-bit seed
+    seed = int(payload[:14], 16) if payload else 0
+    seed += frame_salt * 2246822519
+    h, w = min(int(height), 32), min(int(width), 32)
+    r = np.arange(1, h + 1, dtype=np.int64)[:, None]
+    c = np.arange(1, w + 1, dtype=np.int64)[None, :]
+    px = ((seed + r * 1315423911 + c * 2654435761) % 65521).astype(np.float64) / 65536.0
+    return px.astype(np.float32)
 
 
 def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
@@ -78,9 +88,9 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
             feats = []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 px = _decode_stub(bytes(payload) if payload is not None else b"", int(w), int(h))
-                # pooled row/col means, padded/truncated to dim
-                pooled = np.concatenate([px.mean(axis=0), px.mean(axis=1)])
-                pooled = np.resize(pooled, dim).astype(np.float32)
+                # pooled per-column sums (exact in float32: sum < 2^21/65536),
+                # truncated to dim (decoded width is always >= 16 >= dim)
+                pooled = px.sum(axis=0, dtype=np.float64)[:dim].astype(np.float32)
                 feats.append(pooled.tolist())
             yield pd.DataFrame(
                 {
@@ -115,11 +125,14 @@ def sample_frames(media: DataFrame, every: int = 10, dim: int = 8) -> DataFrame:
                 pdf["payload"], pdf["width"], pdf["height"], pdf["frame_idx"]
             ):
                 px = _decode_stub(
-                    (bytes(payload) if payload is not None else b"") + int(i).to_bytes(4, "little"),
+                    bytes(payload) if payload is not None else b"",
                     int(w),
                     int(h),
+                    frame_salt=int(i),
                 )
-                feats.append(np.resize(px.mean(axis=0), dim).astype(np.float32).tolist())
+                feats.append(
+                    px.sum(axis=0, dtype=np.float64)[:dim].astype(np.float32).tolist()
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

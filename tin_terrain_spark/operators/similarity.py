@@ -109,6 +109,50 @@ def ann_lsh(
     )
 
 
+def sql_ann_lsh(
+    n_queries: int = 8, k: int = 10, n_tables: int = 4, planes_per_table: int = 4,
+) -> str:
+    """DuckDB oracle for the SRP-bucketed ANN: the bucketing is exact
+    integer pseudo-hyperplane math (srp_buckets), so candidates — and
+    therefore the refined top-k — are reproducible in plain SQL."""
+    return f"""
+      WITH planes AS (
+        SELECT t AS table_id, p, t * {planes_per_table} + p + 1 AS seed
+        FROM (SELECT unnest(range(0, {n_tables})) AS t),
+             (SELECT unnest(range(0, {planes_per_table})) AS p)
+      ), proj AS (
+        SELECT e.vec_id, pl.table_id, pl.p,
+               list_sum(list_transform(list_zip(e.embedding, range(1, len(e.embedding) + 1)),
+                        z -> CAST(z[1] AS DOUBLE) * (CAST((z[2] * pl.seed * 2654435761) % 65521 AS DOUBLE) - 32760.0))) AS proj
+        FROM embeddings e, planes pl
+      ), buckets AS (
+        SELECT vec_id, table_id,
+               CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, table_id
+      ), qb AS (
+        SELECT vec_id AS q_id, table_id, bucket FROM buckets WHERE vec_id < {n_queries}
+      ), cand AS (
+        SELECT DISTINCT b.vec_id, q.q_id
+        FROM buckets b JOIN qb q USING (table_id, bucket)
+        WHERE b.vec_id <> q.q_id
+      ), pairs AS (
+        SELECT c.q_id, c.vec_id,
+               list_sum(list_transform(list_zip(v.embedding, qe.embedding),
+                        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+               sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        FROM cand c
+        JOIN embeddings v ON v.vec_id = c.vec_id
+        JOIN embeddings qe ON qe.vec_id = c.q_id
+      )
+      SELECT q_id, vec_id, rank, score FROM (
+        SELECT q_id, vec_id, round(dot / (nv * nq), 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(dot / (nv * nq), 4) DESC, vec_id ASC) AS INT) AS rank
+        FROM pairs
+      ) WHERE rank <= {k}
+    """
+
+
 def sql_ann_brute(n_queries: int = 8, k: int = 10) -> str:
     """DuckDB oracle: unnest-based dot product (cast to double),
     rounded to 4 before ranking — identical tie semantics."""

@@ -280,14 +280,48 @@ SQL_EDGE_COUNT = """
 
 def q_vertex_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: distinct-vertex dedup + dense first-seen index
-    (Mesh::generate_decomposed, Mesh.cpp:107-143) — distributed as a
-    row_number window over first occurrence."""
+    (Mesh::generate_decomposed, Mesh.cpp:107-143).
+
+    The dense id is assigned in two phases so no stage ever sorts the
+    full vertex set in one task (the naive `row_number() OVER (ORDER BY
+    first_doc)` forces a single-partition exchange): (1) range-partition
+    by first_doc and rank within each partition, (2) compute per-
+    partition offsets (one row per partition — trivially small) and add
+    them via a broadcast join. Output identical to the global window.
+    first_doc is unique (each doc lands in exactly one cell), so the
+    ordering is total and the ids are deterministic."""
     pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     from pyspark.sql import Window as W
 
     firsts = pts.groupBy("cell_x", "cell_y").agg(F.min("doc_id").alias("first_doc"))
-    w = W.orderBy("first_doc")
-    return firsts.withColumn("vertex_id", F.row_number().over(w) - 1)
+    n_parts = max(spark.sparkContext.defaultParallelism, 2)
+    ranged = firsts.repartitionByRange(n_parts, "first_doc").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_rn", F.row_number().over(W.partitionBy("_pid").orderBy("first_doc"))
+    )
+    # one row per partition; the cumsum window here is over <= n_parts
+    # rows, not the data — scale-safe by construction
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("vertex_id", (F.col("_rn") + F.col("_off") - 1).cast("int"))
+        .select("cell_x", "cell_y", "first_doc", "vertex_id")
+    )
 
 
 SQL_VERTEX_DEDUP = f"""
@@ -367,6 +401,44 @@ MESH_QUERIES = {
     "zemlya_tiles": q_zemlya_tiles,
     "dense_tiles": q_dense_tiles,
 }
+
+def _golden_oracle_sql(name: str) -> str:
+    """Golden-row oracle for deterministic non-SQL-expressible queries
+    (terra/zemlya greedy meshing, OBJ sink): the frozen rows from
+    scripts/freeze_goldens.py, dispatched on an md5 fingerprint of the
+    documents table so the oracle only matches the exact dataset it was
+    frozen against (unknown data → empty result → loud gate failure)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens.json")
+    with open(path) as f:
+        g = json.load(f)[name]
+    cols = g["columns"]
+    col_names = ", ".join(c for c, _ in cols)
+
+    def lit(v, typ: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {'DOUBLE' if typ == 'double' else 'BIGINT'})"
+        if typ == "double":
+            return f"CAST('{v}' AS DOUBLE)"  # repr round-trips bit-exactly
+        return f"CAST({v} AS {'INT' if typ == 'int' else 'BIGINT'})"
+
+    parts = []
+    for fp, rows in g["by_fingerprint"].items():
+        vals = ", ".join(
+            "(" + ", ".join(lit(v, cols[i][1]) for i, v in enumerate(row)) + ")"
+            for row in rows
+        )
+        parts.append(
+            f"SELECT {col_names} FROM (VALUES {vals}) AS v({col_names}) "
+            f"WHERE (SELECT md5(string_agg(text, '|' ORDER BY doc_id)) FROM documents) = '{fp}'"
+        )
+    return " UNION ALL ".join(parts)
+
+
+ORACLES["terra_tiles"] = _golden_oracle_sql("terra_tiles")
+ORACLES["zemlya_tiles"] = _golden_oracle_sql("zemlya_tiles")
 
 # dense count law at grid_n=32, step=2: verts_per_row = (31//2)+1+1 = 17
 # → 289 vertices, 16*16*2 = 512 faces per tile (simple_meshing.cpp:115-125)

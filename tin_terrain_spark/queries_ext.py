@@ -79,7 +79,8 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
     )
     return J.knn_ring(
-        pts.filter(F.col("doc_id") >= 8), queries, ZOOM, GRID_BITS, k=5, initial_ring=8
+        pts.filter(F.col("doc_id") >= 8), queries, ZOOM, GRID_BITS, k=5, initial_ring=8,
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -107,14 +108,10 @@ def _sql_minhash() -> str:
         f"SELECT {i} AS func_id, {m} AS mul, {a} AS beta"
         for i, (m, a) in enumerate(D.MINHASH_FUNCS)
     )
+    tok_hash = D.SQL_TOK_HASH.format(s="tok")
     return f"""
-      WITH vocab AS (
-        SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
-        FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
-      ), ids AS (
-        SELECT d.doc_id, v.tok_id
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) d
-        JOIN vocab v USING (tok)
+      WITH ids AS (
+        SELECT doc_id, {tok_hash} AS tok_id FROM ({D.sql_shingles()})
       ), funcs AS ({funcs})
       SELECT doc_id, func_id, min((tok_id * mul + beta) % 2147483647) AS minhash
       FROM ids, funcs
@@ -129,18 +126,24 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidates(_docs(spark, sf_dir))
 
 
-def _sql_lsh_candidates(bands: int = 4) -> str:
+def _sql_lsh_candidates(bands: int = 4, bucket_cap: int = D.BUCKET_CAP) -> str:
     rpb = len(D.MINHASH_FUNCS) // bands
     return f"""
       WITH sig AS ({_sql_minhash()}),
       band_key AS (
-        SELECT doc_id, CAST(func_id / {rpb} AS INT) AS band,
+        SELECT doc_id, CAST(FLOOR(func_id / {rpb}) AS INT) AS band,
                sum((func_id % {rpb} + 1) * minhash) AS band_key
-        FROM sig GROUP BY doc_id, CAST(func_id / {rpb} AS INT)
+        FROM sig GROUP BY doc_id, CAST(FLOOR(func_id / {rpb}) AS INT)
+      ),
+      sized AS (
+        SELECT doc_id, band, band_key,
+               count(*) OVER (PARTITION BY band, band_key) AS bsz
+        FROM band_key
       )
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM band_key a JOIN band_key b
+      FROM sized a JOIN sized b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      WHERE a.bsz <= {bucket_cap}
     """
 
 
@@ -151,14 +154,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
 
-SQL_SIMHASH = """
-  WITH vocab AS (
-    SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tok_id
-    FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents)
-  ), ids AS (
-    SELECT d.doc_id, (v.tok_id * 2654435761 + 1013904223) % 2147483647 AS h
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) d
-    JOIN vocab v USING (tok)
+SQL_SIMHASH = f"""
+  WITH ids AS (
+    SELECT doc_id, ({D.SQL_TOK_HASH.format(s='tok')} * 2654435761 + 1013904223) % 2147483647 AS h
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
   ), bitsrc AS (
     SELECT doc_id, bit, CAST(FLOOR(h / POWER(2, bit)) AS BIGINT) % 2 * 2 - 1 AS vote
     FROM ids, (SELECT unnest(range(0, 32)) AS bit)
@@ -327,7 +326,9 @@ ORACLES_EXT = {
     "langid": T.sql_langid(),
     "lang_profile": SQL_LANG_PROFILE,
     "ann_brute": S.sql_ann_brute(),
-    # ann_lsh is approximate by design → rows-only + recall test
+    # ann_lsh is approximate vs brute, but DETERMINISTIC: the integer
+    # SRP bucketing is SQL-expressible, so it gets a full oracle too
+    "ann_lsh": S.sql_ann_lsh(),
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
 }
@@ -362,17 +363,73 @@ SQL_TEXT_ROUNDTRIP = """
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode→feature plumbing (stub decode, real Spark
-    path) — rows-only check."""
+    """Multimodal decode→feature plumbing (stub decode, real Arrow
+    mapInPandas path). The ARRAY<FLOAT> feature is posexploded to
+    (dim, fval) scalar rows — the decode fake is exact integer math,
+    so the fval doubles are bit-identical to the SQL oracle."""
     from .operators.multimodal import image_features, synth_media
 
-    return image_features(synth_media(_docs(spark, sf_dir)))
+    feats = image_features(synth_media(_docs(spark, sf_dir)))
+    return feats.select(
+        "doc_id", "media_type", F.posexplode("feature").alias("dim", "fval")
+    ).select(
+        "doc_id",
+        "media_type",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("fval").cast("double").alias("fval"),
+    )
+
+
+# synth_media metadata recomputed in SQL (multimodal.synth_media mirrors):
+# seed = first 14 hex chars of sha256(text); px(r,c) derived by exact
+# integer arithmetic; feature[j] = sum over rows of column j.
+SQL_MEDIA_FEATURES = """
+  WITH m AS (
+    SELECT doc_id,
+           ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           (doc_id * 53) % 512 + 16 AS height,
+           CAST(concat('0x', substr(sha256(text), 1, 14)) AS BIGINT) AS seed
+    FROM documents
+  )
+  SELECT doc_id, media_type, CAST(j AS INT) AS dim,
+         sum(CAST((seed + (r + 1) * 1315423911 + (j + 1) * 2654435761) % 65521 AS DOUBLE) / 65536) AS fval
+  FROM m,
+  LATERAL (SELECT unnest(range(0, 16)) AS j) dj,
+  LATERAL (SELECT unnest(range(0, least(height, 32))) AS r) dr
+  GROUP BY doc_id, media_type, j
+"""
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import sample_frames, synth_media
 
-    return sample_frames(synth_media(_docs(spark, sf_dir)))
+    frames = sample_frames(synth_media(_docs(spark, sf_dir)))
+    return frames.select(
+        "doc_id", "frame_idx", F.posexplode("frame_feature").alias("dim", "fval")
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("fval").cast("double").alias("fval"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+  WITH m AS (
+    SELECT doc_id,
+           (doc_id * 53) % 512 + 16 AS height,
+           (doc_id * 7) % 120 + 1 AS n_frames,
+           CAST(concat('0x', substr(sha256(text), 1, 14)) AS BIGINT) AS seed
+    FROM documents WHERE doc_id % 3 = 2
+  )
+  SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(j AS INT) AS dim,
+         sum(CAST((seed + f * 2246822519 + (r + 1) * 1315423911 + (j + 1) * 2654435761) % 65521 AS DOUBLE) / 65536) AS fval
+  FROM m,
+  LATERAL (SELECT unnest(range(0, n_frames, 10)) AS f) df,
+  LATERAL (SELECT unnest(range(0, 8)) AS j) dj,
+  LATERAL (SELECT unnest(range(0, least(height, 32))) AS r) dr
+  GROUP BY doc_id, f, j
+"""
 
 
 def q_tiles_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,6 +454,8 @@ QUERIES_EXT.update(
     }
 )
 ORACLES_EXT["text_roundtrip"] = SQL_TEXT_ROUNDTRIP
+ORACLES_EXT["media_features"] = SQL_MEDIA_FEATURES
+ORACLES_EXT["frame_sample"] = SQL_FRAME_SAMPLE
 
 
 def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,9 +492,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_near_dup_pairs(threshold: float = 0.5) -> str:
     return f"""
       WITH cand AS ({_sql_lsh_candidates()}),
-      tok_sets AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-      ),
+      tok_sets AS ({D.sql_shingles()}),
       sizes AS (SELECT doc_id, count(*) AS sz FROM tok_sets GROUP BY doc_id),
       inter AS (
         SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -452,6 +509,10 @@ def _sql_near_dup_pairs(threshold: float = 0.5) -> str:
       WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.sz + sb.sz - i.n_inter), 6) >= {threshold}
     """
 
+
+from .queries import _golden_oracle_sql  # noqa: E402
+
+ORACLES_EXT["tiles_obj"] = _golden_oracle_sql("tiles_obj")
 
 QUERIES_EXT.update({"pip_convex": q_pip_convex, "near_dup_pairs": q_near_dup_pairs})
 ORACLES_EXT["pip_convex"] = SQL_PIP_CONVEX
