@@ -36,7 +36,7 @@ spark = get_spark("scaling", cores=cores)
 # warm-up: compile plans + spawn the python worker pool
 scaling_job(spark, sf_dir, mult=2, zoom=3)
 t0 = time.time()
-tiles, knn_rows, agg_rows, phases = scaling_job(spark, sf_dir, mult=128, zoom=6, grid_bits=5)
+tiles, knn_rows, agg_rows, phases = scaling_job(spark, sf_dir, mult=256, zoom=7, grid_bits=5)
 wall = time.time() - t0
 print(json.dumps({"cores": cores, "wall": round(wall, 3), "tiles": tiles,
                   "knn_rows": knn_rows, "agg_rows": agg_rows,
@@ -101,11 +101,14 @@ def main():
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (north rule)
 
-Identical compute-bound job (128x-replicated pages at {sf_dir} → ~6.4M
-points → zoom-6 terra tile pyramid (4096 tiles) + cell-ring kNN join +
+Identical compute-bound job (256x-replicated pages at {sf_dir} → ~12.8M
+points → zoom-7 terra tile pyramid (16384 tiles) + cell-ring kNN join +
 cell aggregation), run at two parallelism levels N=local[2] and
 4N=local[8], launched via `spark-submit --py-files` — the sandbox
-stand-in for N vs 4N executors.
+stand-in for N vs 4N executors. (The job was re-sized up from the
+round-1 workload after the terra kernel got ~4x faster per core — the
+measured job must stay compute-bound for the 4x step to measure the
+ENGINE, not per-job constants.)
 
 **Why 2 vs 8 cores:** this host exposes 32 hardware threads but pure-CPU
 calibration (multiprocessing over the same NumPy mesh kernel, no Spark)
@@ -121,7 +124,8 @@ Calibration: 1p=132.9s, 2p=75.4s, 8p=19.0s (3.97x from 2p), 32p=6.0s
 | local[8] (4N) | {t_4n:.1f} | {r_4n["tiles_per_sec"]:.2f} | {r_4n["tiles"]} | {r_4n["knn_rows"]} | {json.dumps(r_4n["phases"])} |
 
 **Scaling efficiency** = (T_N / T_4N) / 4 = ({t_n:.1f} / {t_4n:.1f}) / 4 = **{eff:.3f}**
-(target ≥ 0.8)
+(target ≥ 0.8; values within a few % of 1.0 are measurement noise — this
+sandbox intermittently stalls Python-worker stage launches, see NOTES.md)
 
 Identical outputs at both levels: tiles {r_n["tiles"]}=={r_4n["tiles"]},
 knn rows {r_n["knn_rows"]}=={r_4n["knn_rows"]}, agg rows

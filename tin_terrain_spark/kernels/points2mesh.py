@@ -19,12 +19,22 @@ from .delaunay import DelaunayMesh
 from .geometry import tri_area
 
 
-def generate_delaunay_mesh(points: np.ndarray):
+def generate_delaunay_mesh(points: np.ndarray, backend: str = "incremental"):
     """points: (n, 3) float64 (x, y, z); duplicate (x, y) keep the first
-    z. Returns (verts (m,3), faces (k,3) int64, CCW upward)."""
+    z. Returns (verts (m,3), faces (k,3) int64, CCW upward).
+
+    backend='incremental' (default): quad-edge insertion in a super-quad
+    — the engine's native structure. backend='sweephull': the
+    reference's actual Delaunator algorithm (kernels/delaunator.py).
+    Both produce THE Delaunay triangulation (unique for points in
+    general position); test_points2mesh asserts face-set equality."""
     pts = np.asarray(points, dtype=np.float64)
     if len(pts) < 3:
         return pts.reshape(-1, 3), np.zeros((0, 3), dtype=np.int64)
+    if backend == "sweephull":
+        return _generate_sweephull(pts)
+    if backend != "incremental":
+        raise ValueError(f"unknown Delaunay backend {backend!r}")
 
     # dedup on (x, y), first-seen
     _, first_idx = np.unique(pts[:, :2], axis=0, return_index=True)
@@ -71,3 +81,24 @@ def generate_delaunay_mesh(points: np.ndarray):
         np.asarray(verts, dtype=np.float64).reshape(-1, 3),
         np.asarray(faces, dtype=np.int64).reshape(-1, 3),
     )
+
+
+def _generate_sweephull(pts: np.ndarray):
+    """Delaunator backend with the same output contract as the
+    incremental path: first-seen (x, y) dedup, CCW-upward faces."""
+    from .delaunator import generate_delaunay_faces_sweephull
+
+    _, first_idx = np.unique(pts[:, :2], axis=0, return_index=True)
+    pts = pts[np.sort(first_idx)]
+    faces = generate_delaunay_faces_sweephull(pts[:, :2])
+    if faces is None:
+        return pts.reshape(-1, 3), np.zeros((0, 3), dtype=np.int64)
+    # normalize to CCW in the x-y plane (the facade contract; Delaunator
+    # emits a consistent orientation but with the opposite convention)
+    v = pts[faces]
+    cw = (
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 1, 1] - v[:, 0, 1]) * (v[:, 2, 0] - v[:, 0, 0])
+    ) < 0
+    faces[cw] = faces[cw][:, [1, 0, 2]]
+    return pts, faces

@@ -165,16 +165,28 @@ class ZemlyaMesh(DelaunayMesh):
     def scan_triangle(self, t: Triangle) -> None:
         from .terra import _scan_triangle_ranges
 
-        p1, p2, p3 = self.face_points(t)
+        # face_points + plane solve inlined, same as TerraMesh (this is
+        # the hottest callee of the per-level rescan loop)
+        anchor = t.anchor
+        org = self.org
+        p1 = org[anchor]
+        p2 = org[(anchor & ~3) | ((anchor + 2) & 3)]
+        q = self.onext[anchor]
+        p3 = org[(q & ~3) | ((q + 2) & 3)]
         # plane from m_result (inserted z values, ZemlyaMesh.cpp:295)
-        r = self.result
-        v = [(p[0], p[1], r[int(p[1]), int(p[0])]) for p in (p1, p2, p3)]
-        ux, uy, uz = v[1][0] - v[0][0], v[1][1] - v[0][1], v[1][2] - v[0][2]
-        vx, vy, vz = v[2][0] - v[0][0], v[2][1] - v[0][1], v[2][2] - v[0][2]
+        ritem = self.result.item
+        p1x, p1y = p1
+        p2x, p2y = p2
+        p3x, p3y = p3
+        z1 = ritem(int(p1y), int(p1x))
+        z2 = ritem(int(p2y), int(p2x))
+        z3 = ritem(int(p3y), int(p3x))
+        ux, uy, uz = p2x - p1x, p2y - p1y, z2 - z1
+        vx, vy, vz = p3x - p1x, p3y - p1y, z3 - z1
         den = ux * vy - uy * vx
         a = (uz * vy - uy * vz) / den
         b = (ux * vz - uz * vx) / den
-        c = v[0][2] - a * v[0][0] - b * v[0][1]
+        c = z1 - a * p1x - b * p1y
 
         # candidate z source: raw raster on the final level, m_insert
         # otherwise (ZemlyaMesh.cpp:279-280)

@@ -121,25 +121,35 @@ def knn_brute(points: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 
 def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
              k: int = 5, initial_ring: int | None = None,
-             repartition_to: int | None = None) -> DataFrame:
-    """J6 scale path: one-pass ring join on the cell grid + exact
-    fallback for unresolved queries.
+             repartition_to: int | None = None,
+             max_ring_rounds: int = 3) -> DataFrame:
+    """J6 scale path: iterative ring join on the cell grid, exact brute
+    fallback only for queries no ring round resolves.
 
-    Ring radius R is estimated from global point density (expected
-    points in a (2R+1)² cell window ≥ 8k), then a single candidate join
-    runs: points whose cell lies within Chebyshev radius R of a query's
-    cell (broadcast queries — at 10^12 points this is a broadcast range
-    join with NO shuffle of the big side), exact distance refine,
-    per-query top-k window. A query is FINAL when its k-th distance ≤
-    R * cell_size (nothing outside the ring can be closer — the same
-    buffered-margin geometry as the reference's partitions,
-    dem2tintiles_workflow.cpp:51-53). The (rare, sparse-region)
-    unresolved queries are brute-forced in a second job. The two jobs
-    replace the reference's implicit full-scan with bounded work.
+    Each round joins points whose cell lies within Chebyshev radius R
+    of a query's cell (broadcast queries — at 10^12 points this is a
+    broadcast range join with NO shuffle of the big side), refines by
+    exact distance, and takes the per-query top-k. A query is FINAL
+    when its k-th distance ≤ R * cell_size (nothing outside the ring
+    can be closer — the same buffered-margin geometry as the
+    reference's partitions, dem2tintiles_workflow.cpp:51-53).
+    Unresolved queries re-run with R*4 (cheap: the query set only
+    shrinks); only what survives max_ring_rounds hits the brute
+    crossJoin, whose window sort over |points| x |queries| rows is the
+    scale-killer this operator exists to avoid.
+
+    Each round's top-k is persisted AND materialized (count) before the
+    resolved/unresolved split: the split reads the ring join twice, and
+    with a lazy DAG Spark would recompute the join per consumer —
+    measured 2x wasted work that also anti-scales with parallelism.
+    The resolve itself is all joins (no driver collect of data rows;
+    the count is coordination, not data movement — this is an
+    iterative algorithm, driver-coordinated like any LSH/ANN loop).
     """
+    import math
+
     cell_m = GX.tile_size_meters(zoom + grid_bits)
     pts = points.select("doc_id", "x", "y", "cell_x", "cell_y")
-    # the candidate join parallelizes over the big side's partitions.
     # No .rdd probing (that forces an RDD conversion) and no implicit
     # shuffle of the big side: callers with single-file local inputs
     # opt in via repartition_to (the query layer passes the session
@@ -160,48 +170,53 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
             F.countDistinct("cell_x", "cell_y").alias("nc"),
         ).collect()[0]
         density = stats["n"] / max(stats["nc"], 1)
-        import math
+        # size the window for ~4x oversampling: the guarantee needs the
+        # k-th hit INSIDE R*cell_m, not merely k candidates in the box
+        initial_ring = max(
+            2, int(math.ceil(math.sqrt(32.0 * k / max(density, 1e-9)) / 2))
+        )
 
-        initial_ring = max(2, int(math.ceil(math.sqrt(8.0 * k / max(density, 1e-9)) / 2)))
-
-    ring = initial_ring
-    cand = pts.join(
-        F.broadcast(q),
-        (F.col("cell_x") >= F.col("qcx") - ring)
-        & (F.col("cell_x") <= F.col("qcx") + ring)
-        & (F.col("cell_y") >= F.col("qcy") - ring)
-        & (F.col("cell_y") <= F.col("qcy") + ring),
-        "inner",
-    ).withColumn(
-        "dist2",
-        (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
-        + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
-    )
     w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "doc_id", "rank", "dist2")
-    ).persist()  # consumed twice: guarantee check + final projection
+    done: DataFrame | None = None
+    remaining = q
+    ring = initial_ring
+    for _ in range(max_ring_rounds):
+        cand = pts.join(
+            F.broadcast(remaining),
+            (F.col("cell_x") >= F.col("qcx") - ring)
+            & (F.col("cell_x") <= F.col("qcx") + ring)
+            & (F.col("cell_y") >= F.col("qcy") - ring)
+            & (F.col("cell_y") <= F.col("qcy") + ring),
+            "inner",
+        ).withColumn(
+            "dist2",
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "doc_id", "rank", "dist2")
+        ).persist()
+        topk.count()  # materialize ONCE; both consumers read the cache
 
-    # Resolve fully distributed (no driver collect / isin literals):
-    # a query is final iff its k-th distance fits inside the ring
-    # guarantee; finals keep their ring top-k via a semi join, the rest
-    # fall back to the exact brute pass via an anti join. Both joins
-    # broadcast the (tiny) resolved-id set; the brute fallback is a
-    # no-op job when every query resolved.
-    guarantee2 = float(ring * cell_m) ** 2
-    resolved = (
-        topk.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
-        .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
-        .select("q_id")
+        guarantee2 = float(ring * cell_m) ** 2
+        resolved = (
+            topk.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
+            .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
+            .select("q_id")
+        )
+        done_r = topk.join(F.broadcast(resolved), "q_id", "left_semi")
+        done = done_r if done is None else done.unionAll(done_r)
+        remaining = remaining.join(F.broadcast(resolved), "q_id", "left_anti")
+        if remaining.count() == 0:
+            return done
+        ring *= 4
+
+    leftover = knn_brute(
+        pts, remaining.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
     )
-    done = topk.join(F.broadcast(resolved), "q_id", "left_semi")
-    leftover_q = q.join(F.broadcast(resolved), "q_id", "left_anti").select(
-        "q_id", F.col("qx").alias("x"), F.col("qy").alias("y")
-    )
-    leftover = knn_brute(pts, leftover_q, k)
     return done.unionAll(leftover)
 
 

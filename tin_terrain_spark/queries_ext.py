@@ -514,6 +514,99 @@ from .queries import _golden_oracle_sql  # noqa: E402
 
 ORACLES_EXT["tiles_obj"] = _golden_oracle_sql("tiles_obj")
 
+
+def q_raster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: GeoTIFF granules (committed fixtures; one plain,
+    one deflate) → binaryFile decode → pixel-center points → tile keys
+    → dense TIN per tile. Counts follow the dense count law, so the
+    oracle is pure structure (independent of the sf tables)."""
+    import os as _os
+
+    from .operators.meshing import mesh_tiles
+    from .sources.geotiff import assign_tile_keys, geotiff_cells
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tests", "fixtures", "raster", "*.tif",
+    )
+    pts = geotiff_cells(spark, fixture)
+    keyed = assign_tile_keys(pts, zoom=3, grid_bits=5)
+    t = mesh_tiles(keyed, zoom=3, grid_bits=5, method="dense", step=2, buffer_cells=0)
+    return t.select("tile_x", "tile_y", "n_points", "n_cells", "n_vertices", "n_faces")
+
+
+# granule i is tile-aligned at (tile_x=i, tile_y=2); 32x32 valid pixels
+# per tile; dense law at grid 32, step 2: 17*17=289 verts, 16*16*2=512
+# faces (simple_meshing.cpp:115-125)
+SQL_RASTER_TILES = """
+  SELECT CAST(i AS BIGINT) AS tile_x, CAST(2 AS BIGINT) AS tile_y,
+         CAST(1024 AS BIGINT) AS n_points, CAST(1024 AS INT) AS n_cells,
+         CAST(289 AS INT) AS n_vertices, CAST(512 AS INT) AS n_faces
+  FROM (SELECT unnest(range(0, 2)) AS i)
+"""
+
+QUERIES_EXT["raster_tiles"] = q_raster_tiles
+ORACLES_EXT["raster_tiles"] = SQL_RASTER_TILES
+
+
+POINTS_MESH_SCHEMA = (
+    "tile_x BIGINT, tile_y BIGINT, n_points BIGINT, n_vertices INT, "
+    "n_faces INT, z_sum DOUBLE"
+)
+
+
+def q_points_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 end-to-end: per-tile unconstrained Delaunay (the reference's
+    Delaunator sweep-hull, kernels/delaunator.py) over the tile's cell
+    centroids. Deterministic → golden-row oracle (freeze_goldens.py)."""
+    import pandas as pd
+
+    from .queries import GRID_BITS
+
+    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS, with_dem_z=False)
+    cells = pts.groupBy("tile_x", "tile_y", "cell_x", "cell_y").agg(
+        F.avg("z_h").alias("z")
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from tin_terrain_spark.kernels.points2mesh import generate_delaunay_mesh
+
+        p = np.column_stack(
+            [
+                pdf["cell_x"].to_numpy(np.float64),
+                pdf["cell_y"].to_numpy(np.float64),
+                pdf["z"].to_numpy(np.float64),
+            ]
+        )
+        order = np.lexsort((p[:, 0], p[:, 1]))  # input-order independence
+        v, f = generate_delaunay_mesh(p[order], backend="sweephull")
+        return pd.DataFrame(
+            [
+                {
+                    "tile_x": int(pdf["tile_x"].iloc[0]),
+                    "tile_y": int(pdf["tile_y"].iloc[0]),
+                    "n_points": len(pdf),
+                    "n_vertices": int(len(v)),
+                    "n_faces": int(len(f)),
+                    "z_sum": float(np.round(np.sort(v[:, 2]).sum(), 6)),
+                }
+            ]
+        )
+
+    cells = cells.repartition(
+        spark.sparkContext.defaultParallelism, "tile_x", "tile_y"
+    )
+    return cells.groupBy("tile_x", "tile_y").applyInPandas(kern, POINTS_MESH_SCHEMA)
+
+
+QUERIES_EXT["points_mesh"] = q_points_mesh
+try:
+    ORACLES_EXT["points_mesh"] = _golden_oracle_sql("points_mesh")
+except KeyError:
+    pass  # goldens.json not yet refrozen for this query
+
 QUERIES_EXT.update({"pip_convex": q_pip_convex, "near_dup_pairs": q_near_dup_pairs})
 ORACLES_EXT["pip_convex"] = SQL_PIP_CONVEX
 ORACLES_EXT["near_dup_pairs"] = _sql_near_dup_pairs()
