@@ -109,6 +109,88 @@ def ann_lsh(
     )
 
 
+def embed_near_dup(
+    emb: DataFrame, threshold: float = 0.35,
+    n_tables: int = 4, planes_per_table: int = 4, bucket_cap: int = 200,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the charter's
+    embedding-based dedup method): SRP buckets → capped bucket
+    self-join → exact cosine refine ≥ threshold. The bucket join is the
+    O(n) scale path (candidates only among bucket-mates, hot buckets
+    dropped); exact cosine keeps the emitted pairs precise. Fully
+    deterministic → SQL-twin oracle (sql_embed_near_dup)."""
+    from pyspark.sql import Window as W
+
+    b = srp_buckets(emb, n_tables, planes_per_table)
+    sized = b.withColumn(
+        "_bsz", F.count(F.lit(1)).over(W.partitionBy("table_id", "bucket"))
+    ).filter(F.col("_bsz") <= bucket_cap)
+    a = sized.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    bb = sized.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
+    cand = (
+        a.join(bb, ["table_id", "bucket"], "inner")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
+    cos = dot / (F.expr(_norm_sql("emb_a")) * F.expr(_norm_sql("emb_b")))
+    return (
+        pairs.withColumn("score", F.round(cos, 4))
+        .filter(F.col("score") >= threshold)
+        .select("vec_a", "vec_b", "score")
+    )
+
+
+def sql_embed_near_dup(
+    threshold: float = 0.35,
+    n_tables: int = 4, planes_per_table: int = 4, bucket_cap: int = 200,
+) -> str:
+    return f"""
+      WITH planes AS (
+        SELECT t AS table_id, p, t * {planes_per_table} + p + 1 AS seed
+        FROM (SELECT unnest(range(0, {n_tables})) AS t),
+             (SELECT unnest(range(0, {planes_per_table})) AS p)
+      ), proj AS (
+        SELECT e.vec_id, pl.table_id, pl.p,
+               list_sum(list_transform(list_zip(e.embedding, range(1, len(e.embedding) + 1)),
+                        z -> CAST(z[1] AS DOUBLE) * (CAST((z[2] * pl.seed * 2654435761) % 65521 AS DOUBLE) - 32760.0))) AS proj
+        FROM embeddings e, planes pl
+      ), buckets AS (
+        SELECT vec_id, table_id,
+               CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, table_id
+      ), sized AS (
+        SELECT vec_id, table_id, bucket,
+               count(*) OVER (PARTITION BY table_id, bucket) AS bsz
+        FROM buckets
+      ), cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sized a JOIN sized b ON a.table_id = b.table_id AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id AND a.bsz <= {bucket_cap}
+      )
+      SELECT c.vec_a, c.vec_b,
+             round(
+               list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS score
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_a
+      JOIN embeddings eb ON eb.vec_id = c.vec_b
+      WHERE round(
+               list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) >= {threshold}
+    """
+
+
 def sql_ann_lsh(
     n_queries: int = 8, k: int = 10, n_tables: int = 4, planes_per_table: int = 4,
 ) -> str:

@@ -94,6 +94,41 @@ SQL_FINGERPRINTS = """
 """
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the shape of the GPT-2 pre-tokenizer split, without the \p classes
+# that differ across regex engines (plain classes are identical in
+# Java regex and RE2/DuckDB)
+BPE_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting both ways the charter lists: whitespace tokens
+    and BPE-ish regex tokens, plus the punctuation ratio used by
+    quality filters. Pure Column expressions (regexp_count is
+    codegen'd JVM-side)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PAT)).cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", ""))
+            / F.length(F.col("text")),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+def sql_token_counts() -> str:
+    return f"""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT) AS bpe_tokens,
+             round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                   / length(text), 6) AS punct_ratio
+      FROM documents
+    """
+
+
 def langid(docs: DataFrame) -> DataFrame:
     """Heuristic language id: stopword-hit rate as the 'en' score —
     the deterministic stand-in for an n-gram language profile (the

@@ -187,6 +187,17 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.langid(_docs(spark, sf_dir))
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (charter dedup method #5):
+    capped SRP buckets → exact cosine ≥ 0.35."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embed_near_dup(emb)
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -306,6 +317,8 @@ QUERIES_EXT = {
     "text_stats": q_text_stats,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
+    "token_counts": q_token_counts,
+    "embed_near_dup": q_embed_near_dup,
     "lang_profile": q_lang_profile,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
@@ -324,6 +337,8 @@ ORACLES_EXT = {
     "text_stats": T.sql_text_stats(),
     "fingerprints": T.SQL_FINGERPRINTS,
     "langid": T.sql_langid(),
+    "token_counts": T.sql_token_counts(),
+    "embed_near_dup": S.sql_embed_near_dup(),
     "lang_profile": SQL_LANG_PROFILE,
     "ann_brute": S.sql_ann_brute(),
     # ann_lsh is approximate vs brute, but DETERMINISTIC: the integer
