@@ -54,8 +54,14 @@ def bench_queries():
         "knn_ring": ("join", QE.QUERIES_EXT["knn_ring"]),
         "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
         "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
+        "near_dup_pairs": ("dedup", QE.QUERIES_EXT["near_dup_pairs"]),
         "simhash": ("dedup", QE.QUERIES_EXT["simhash"]),
         "ann_brute": ("similarity", QE.QUERIES_EXT["ann_brute"]),
+        "ann_lsh": ("similarity", QE.QUERIES_EXT["ann_lsh"]),
+        "embed_near_dup": ("similarity", QE.QUERIES_EXT["embed_near_dup"]),
+        # mesh_aux: not in the tiles/sec headline (keeps the metric
+        # comparable across rounds); timed + counted like everything else
+        "points_mesh": ("mesh_aux", QE.QUERIES_EXT["points_mesh"]),
         "text_stats": ("text", QE.QUERIES_EXT["text_stats"]),
         "fingerprints": ("text", QE.QUERIES_EXT["fingerprints"]),
         "events_window": ("events", QE.QUERIES_EXT["events_window"]),

@@ -40,8 +40,20 @@ from .raster import Grid, sample_nearest_valid_avg
 
 from math import ceil as _ceil, floor as _floor, inf as _inf
 
+# shared column-index buffer for the wide-row scan path (grown on
+# demand; avoids one np.arange allocation per scanned row)
+_COLS = np.arange(4096, dtype=np.float64)
 
-def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv: float):
+
+def _cols(n: int) -> np.ndarray:
+    global _COLS
+    if n > len(_COLS):
+        _COLS = np.arange(max(n, 2 * len(_COLS)), dtype=np.float64)
+    return _COLS
+
+
+def _scan_triangle_ranges(points, plane, src, used, ndv: float,
+                          src_l=None, used_l=None):
     """Scanline candidate search over one triangle.
 
     Replicates the reference's exact row coverage (TerraMesh.cpp:109-167):
@@ -56,7 +68,9 @@ def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv:
     Perf note: most scanned triangles are a handful of cells (the
     greedy loop refines hot spots), so the hot path is a plain Python
     row walk — NumPy's per-call overhead dominated the old vectorized
-    form 10:1 on tiny spans. Wide rows (>= 24 cells) still vectorize."""
+    form 10:1 on tiny spans. Wide rows (>= 24 cells) vectorize on the
+    ndarrays; narrow rows read the optional list-of-list mirrors
+    (native list slicing beats per-element ndarray access ~3x)."""
     pts = [points[0], points[1], points[2]]
     if pts[0][1] > pts[1][1]:
         pts[0], pts[1] = pts[1], pts[0]
@@ -82,7 +96,7 @@ def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv:
             ex = _floor(x2 if x1 < x2 else x1)
             n = ex - sx + 1
             if n >= 24:
-                # wide span: vectorize this row
+                # wide span: vectorize this row on the ndarrays
                 zs = src[y, sx : ex + 1]
                 bad = used[y, sx : ex + 1] != 0
                 if ndv_is_nan:
@@ -92,7 +106,7 @@ def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv:
                 # grouping matters: a*x + b*y + c left-to-right, the
                 # same float adds as the scalar path and the old cumsum
                 # form (tie-breaks depend on the last ULP)
-                diff = np.abs(zs - (a * np.arange(sx, ex + 1) + b * y + c))
+                diff = np.abs(zs - (a * _cols(ex + 1)[sx : ex + 1] + b * y + c))
                 diff[bad] = -_inf
                 k = int(np.argmax(diff))
                 dk = diff[k]
@@ -102,10 +116,13 @@ def _scan_triangle_ranges(points, plane, src: np.ndarray, used: np.ndarray, ndv:
                     best_y = y
                     best_z = float(zs[k])
             elif n > 0:
-                # narrow span: unbox once (tolist), then pure-Python —
-                # per-element ndarray indexing costs ~3x a list index
-                us = used[y, sx : ex + 1].tolist()
-                zs = src[y, sx : ex + 1].tolist()
+                # narrow span: pure-Python over a plain-list slice
+                if used_l is not None:
+                    us = used_l[y][sx : ex + 1]
+                    zs = src_l[y][sx : ex + 1]
+                else:
+                    us = used[y, sx : ex + 1].tolist()
+                    zs = src[y, sx : ex + 1].tolist()
                 for i in range(n):
                     if us[i] == 0:
                         zv = zs[i]
@@ -179,10 +196,10 @@ class TerraMesh(DelaunayMesh):
         p1x, p1y = p1
         p2x, p2y = p2
         p3x, p3y = p3
-        zitem = z.item  # unboxed Python floats: scalar math below stays
-        z1 = zitem(int(p1y), int(p1x))  # pure-float (2x np.float64 ops)
-        z2 = zitem(int(p2y), int(p2x))
-        z3 = zitem(int(p3y), int(p3x))
+        zl = self._zl  # list mirror of grid.z (built in greedy_insert)
+        z1 = zl[int(p1y)][int(p1x)]
+        z2 = zl[int(p2y)][int(p2x)]
+        z3 = zl[int(p3y)][int(p3x)]
         ux, uy, uz = p2x - p1x, p2y - p1y, z2 - z1
         vx, vy, vz = p3x - p1x, p3y - p1y, z3 - z1
         den = ux * vy - uy * vx
@@ -191,7 +208,8 @@ class TerraMesh(DelaunayMesh):
         c = z1 - a * p1x - b * p1y
 
         best = _scan_triangle_ranges(
-            (p1, p2, p3), (a, b, c), z, self.used, self.grid.ndv
+            (p1, p2, p3), (a, b, c), z, self.used, self.grid.ndv,
+            src_l=zl, used_l=self._ul,
         )
         token = self.counter
         self.counter += 1
@@ -220,6 +238,13 @@ class TerraMesh(DelaunayMesh):
         self.used[h - 1, w - 1] = 1
         self.used[0, w - 1] = 1
 
+        # list mirrors of the (now-final) raster and the used mask:
+        # the scan loop reads them ~1M times per tile, and native list
+        # indexing is ~3x ndarray scalar access. grid.z never changes
+        # after corner repair; `used` writes below update both.
+        self._zl = g.z.tolist()
+        self._ul = self.used.tolist()
+
         for t in list(self.faces()):
             self.scan_triangle(t)
 
@@ -234,6 +259,7 @@ class TerraMesh(DelaunayMesh):
             if self.token[cy, cx] != token:
                 continue  # stale candidate (TerraMesh.cpp:66-67)
             self.used[cy, cx] = 1
+            self._ul[cy][cx] = 1
             self.insert((float(cx), float(cy)), tri)
 
     # -- emission (TerraMesh.cpp:175-242) ----------------------------------

@@ -174,13 +174,13 @@ class ZemlyaMesh(DelaunayMesh):
         q = self.onext[anchor]
         p3 = org[(q & ~3) | ((q + 2) & 3)]
         # plane from m_result (inserted z values, ZemlyaMesh.cpp:295)
-        ritem = self.result.item
+        rl = self._rl
         p1x, p1y = p1
         p2x, p2y = p2
         p3x, p3y = p3
-        z1 = ritem(int(p1y), int(p1x))
-        z2 = ritem(int(p2y), int(p2x))
-        z3 = ritem(int(p3y), int(p3x))
+        z1 = rl[int(p1y)][int(p1x)]
+        z2 = rl[int(p2y)][int(p2x)]
+        z3 = rl[int(p3y)][int(p3x)]
         ux, uy, uz = p2x - p1x, p2y - p1y, z2 - z1
         vx, vy, vz = p3x - p1x, p3y - p1y, z3 - z1
         den = ux * vy - uy * vx
@@ -189,9 +189,13 @@ class ZemlyaMesh(DelaunayMesh):
         c = z1 - a * p1x - b * p1y
 
         # candidate z source: raw raster on the final level, m_insert
-        # otherwise (ZemlyaMesh.cpp:279-280)
+        # otherwise (ZemlyaMesh.cpp:279-280) — list mirrors rebuilt per
+        # level in greedy_insert
         src = self.grid.z if self.current_level == self.max_level else self.insert_r
-        best = _scan_triangle_ranges((p1, p2, p3), (a, b, c), src, self.used, self.grid.ndv)
+        best = _scan_triangle_ranges(
+            (p1, p2, p3), (a, b, c), src, self.used, self.grid.ndv,
+            src_l=self._srcl, used_l=self._ul,
+        )
         token = self.counter
         self.counter += 1
         self.token[best[1], best[0]] = token
@@ -226,6 +230,13 @@ class ZemlyaMesh(DelaunayMesh):
             self.used[:] = 0
             self._update_insert(level)
 
+            # per-level list mirrors (see terra.py): the scan source is
+            # fixed within a level; result/used writes update mirrors
+            src = self.grid.z if level == self.max_level else self.insert_r
+            self._srcl = src.tolist()
+            self._ul = self.used.tolist()
+            self._rl = self.result.tolist()
+
             for t in list(self.faces()):
                 self.scan_triangle(t)
 
@@ -237,7 +248,9 @@ class ZemlyaMesh(DelaunayMesh):
                 if self.token[cy, cx] != token:
                     continue
                 self.result[cy, cx] = cz
+                self._rl[cy][cx] = cz
                 self.used[cy, cx] = 1
+                self._ul[cy][cx] = 1
                 self.insert((float(cx), float(cy)), tri)
 
     # -- emission (ZemlyaMesh.cpp:358-420) -----------------------------------
