@@ -154,14 +154,15 @@ def main():
     join_rows = 0
 
     for name, (cat, fn) in bench_queries().items():
-        # min-of-2: this sandbox shows intermittent multi-second stalls
-        # in Python-worker stage launch (measured on a constant-work
-        # probe: 1s job -> 7-10s in ~1 of 4 runs, JVM-only stages
-        # stable) — the min is the steady-state cost a warm cluster
-        # would see; both runs are full executions, never cached
+        # min-of-3: this sandbox shows intermittent multi-second stalls
+        # in Python-worker stages (measured on a constant-work probe:
+        # 1s job -> 7-10s in ~1 of 4 runs, JVM-only stages stable;
+        # load-average shows ~3 phantom cores at idle → host-level CPU
+        # steal) — the min is the steady-state cost a warm cluster
+        # would see; every run is a full execution, never cached
         best = float("inf")
         n = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
