@@ -35,25 +35,28 @@ def sweep(spark, tmp_path_factory):
     pts = geocode_points(docs, zoom=1, grid_bits=5)
     rows = run_benchmark_sweep(
         pts, zoom=1, out_dir=out, input_name="sf0.001",
-        max_errors=[1.0, 5.0], steps=[2],
+        max_errors=[1.0, 5.0], steps=[2], thresholds=[0.5],
     )
     return out, pts, rows
 
 
 def test_reference_param_sets():
-    # the full sets are the reference's own (benchmark_workflow.cpp:554,420)
+    # the full sets are the reference's own (benchmark_workflow.cpp:554,420,488)
+    from tin_terrain_spark.pipeline.benchmark import PARAM_THRESHOLD
+
     assert len(PARAM_MAX_ERROR) == 17 and PARAM_MAX_ERROR[0] == 0.1
     assert len(PARAM_STEP) == 15 and PARAM_STEP[-1] == 20
+    assert len(PARAM_THRESHOLD) == 13 and PARAM_THRESHOLD[-1] == 3.0
 
 
 def test_sweep_rows_and_csv(sweep):
     out, _, rows = sweep
-    # 2 params x terra + 2 x zemlya + 1 x dense
-    assert len(rows) == 5
+    # 2 params x terra + 2 x zemlya + 1 x dense + 1 x curvature
+    assert len(rows) == 6
     csv = open(os.path.join(out, "tin_terrain_benchmarks.csv")).read().splitlines()
     assert csv[0].startswith("input_file,method_name")
-    assert len(csv) == 6
-    assert len([f for f in os.listdir(out) if f.endswith(".done")]) == 5
+    assert len(csv) == 7
+    assert len([f for f in os.listdir(out) if f.endswith(".done")]) == 6
 
 
 def test_stats_sane(sweep):
@@ -113,8 +116,8 @@ def test_resume_skips_done(sweep, spark):
     out, pts, _ = sweep
     again = run_benchmark_sweep(
         pts, zoom=1, out_dir=out, input_name="sf0.001",
-        max_errors=[1.0, 5.0], steps=[2],
+        max_errors=[1.0, 5.0], steps=[2], thresholds=[0.5],
     )
     assert again == []
     csv = open(os.path.join(out, "tin_terrain_benchmarks.csv")).read().splitlines()
-    assert len(csv) == 6  # no duplicate appends
+    assert len(csv) == 7  # no duplicate appends

@@ -179,6 +179,12 @@ def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
             verts, faces = generate_tin_zemlya(grid, max_error)
         elif method == "dense":
             verts, faces = generate_tin_dense_quadwalk(grid, step)
+        elif method == "curvature":
+            # the max_error slot carries the curvature threshold
+            # (param_threshold in the reference's benchmark StatsRow)
+            from tin_terrain_spark.kernels.curvature import generate_tin_curvature
+
+            verts, faces = generate_tin_curvature(grid, max_error)
         else:
             raise ValueError(f"unknown meshing method {method!r}")
 

@@ -42,6 +42,8 @@ PARAM_MAX_ERROR = [
 ]
 # benchmark_workflow.cpp:420
 PARAM_STEP = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 12, 14, 16, 18, 20]
+# benchmark_workflow.cpp:488-489
+PARAM_THRESHOLD = [0.1, 0.2, 0.3, 0.5, 0.8, 1.0, 1.2, 1.4, 1.6, 1.8, 2.0, 2.5, 3.0]
 
 SWEEP_SCHEMA = (
     "tile_x BIGINT, tile_y BIGINT, n_points BIGINT, n_vertices INT, "
@@ -50,14 +52,15 @@ SWEEP_SCHEMA = (
 )
 
 CSV_HEADER = (
-    "input_file,method_name,input_num_points,param_max_error,param_step,"
-    "meshing_time_seconds,standard_dev_error,mean_error,max_error,"
+    "input_file,method_name,input_num_points,param_max_error,param_threshold,"
+    "param_step,meshing_time_seconds,standard_dev_error,mean_error,max_error,"
     "num_vertices,num_faces,violations"
 )
 
 
 def _make_sweep_kernel(zoom: int, grid_bits: int, buffer_cells: int,
-                       method: str, max_error: float, step: int):
+                       method: str, max_error: float, step: int,
+                       threshold: float = float("nan")):
     g = 1 << grid_bits
     b = buffer_cells
     tile_m = GX.tile_size_meters(zoom)
@@ -102,6 +105,10 @@ def _make_sweep_kernel(zoom: int, grid_bits: int, buffer_cells: int,
             verts, faces = generate_tin_zemlya(grid, max_error)
         elif method == "dense":
             verts, faces = generate_tin_dense_quadwalk(grid, step)
+        elif method == "curvature":
+            from tin_terrain_spark.kernels.curvature import generate_tin_curvature
+
+            verts, faces = generate_tin_curvature(grid, threshold)
         else:
             raise ValueError(f"unknown meshing method {method!r}")
         mesh_seconds = time.perf_counter() - t0
@@ -136,6 +143,7 @@ def _make_sweep_kernel(zoom: int, grid_bits: int, buffer_cells: int,
 
 def run_parametrization(points: DataFrame, zoom: int, method: str,
                         max_error: float = float("nan"), step: int = -1,
+                        threshold: float = float("nan"),
                         grid_bits: int = 5, buffer_cells: int = 2,
                         cells: DataFrame | None = None) -> dict:
     """One (method, param) run: distributed mesh+measure over all tiles,
@@ -146,7 +154,9 @@ def run_parametrization(points: DataFrame, zoom: int, method: str,
     cells = cells.repartition(
         spark.sparkContext.defaultParallelism, "tile_x", "tile_y"
     )
-    kernel = _make_sweep_kernel(zoom, grid_bits, buffer_cells, method, max_error, step)
+    kernel = _make_sweep_kernel(
+        zoom, grid_bits, buffer_cells, method, max_error, step, threshold
+    )
     per_tile = cells.groupBy("tile_x", "tile_y").applyInPandas(kernel, SWEEP_SCHEMA)
 
     is_terra_like = method in ("terra", "zemlya")
@@ -176,15 +186,18 @@ def run_parametrization(points: DataFrame, zoom: int, method: str,
     n = agg["n"] or 0
     mean = agg["sd"] / n if n else float("nan")
     var = agg["sd2"] / n - mean * mean if n else float("nan")
+    nanf = float("nan")
     return {
         "method_name": method,
         "input_num_points": agg["input_num_points"],
         "param_max_error": max_error,
+        "param_threshold": threshold,
         "param_step": step,
         "meshing_time_seconds": agg["meshing_time_seconds"],
-        "standard_dev_error": float(np.sqrt(max(var, 0.0))) if n else float("nan"),
+        "standard_dev_error": float(np.sqrt(max(var, 0.0))) if n else nanf,
         "mean_error": mean,
-        "max_error": agg["max_error"],
+        # null when every tile's err_max was NaN (pandas NaN → Spark null)
+        "max_error": nanf if agg["max_error"] is None else agg["max_error"],
         "num_vertices": agg["num_vertices"],
         "num_faces": agg["num_faces"],
         "violations": int(agg["violations"]),
@@ -193,8 +206,8 @@ def run_parametrization(points: DataFrame, zoom: int, method: str,
 
 def run_benchmark_sweep(points: DataFrame, zoom: int, out_dir: str,
                         input_name: str = "points",
-                        methods=("terra", "zemlya", "dense"),
-                        max_errors=None, steps=None,
+                        methods=("terra", "zemlya", "dense", "curvature"),
+                        max_errors=None, steps=None, thresholds=None,
                         grid_bits: int = 5, buffer_cells: int = 2,
                         resume: bool = True) -> list[dict]:
     """The full sweep: methods x their parameter sets, CSV + .done
@@ -203,6 +216,7 @@ def run_benchmark_sweep(points: DataFrame, zoom: int, out_dir: str,
     like the reference's benchmark_done fast-path)."""
     max_errors = PARAM_MAX_ERROR if max_errors is None else max_errors
     steps = PARAM_STEP if steps is None else steps
+    thresholds = PARAM_THRESHOLD if thresholds is None else thresholds
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, "tin_terrain_benchmarks.csv")
     if not (resume and os.path.exists(csv_path)):
@@ -213,13 +227,23 @@ def run_benchmark_sweep(points: DataFrame, zoom: int, out_dir: str,
     cells = cell_grid(points, zoom, grid_bits, buffer_cells).persist()
     runs = []
     for method in methods:
-        params = steps if method == "dense" else max_errors
+        if method == "dense":
+            params = steps
+        elif method == "curvature":
+            params = thresholds
+        else:
+            params = max_errors
         for p in params:
             tag = f"{method}_{p}"
             marker = os.path.join(out_dir, f"{tag}.done")
             if resume and os.path.exists(marker):
                 continue
-            kwargs = {"step": int(p)} if method == "dense" else {"max_error": float(p)}
+            if method == "dense":
+                kwargs = {"step": int(p)}
+            elif method == "curvature":
+                kwargs = {"threshold": float(p)}
+            else:
+                kwargs = {"max_error": float(p)}
             row = run_parametrization(
                 points, zoom, method, grid_bits=grid_bits,
                 buffer_cells=buffer_cells, cells=cells, **kwargs,
@@ -228,7 +252,7 @@ def run_benchmark_sweep(points: DataFrame, zoom: int, out_dir: str,
             with open(csv_path, "a") as f:
                 f.write(
                     f'{row["input_file"]},{row["method_name"]},{row["input_num_points"]},'
-                    f'{row["param_max_error"]},{row["param_step"]},'
+                    f'{row["param_max_error"]},{row["param_threshold"]},{row["param_step"]},'
                     f'{row["meshing_time_seconds"]:.6f},{row["standard_dev_error"]:.9f},'
                     f'{row["mean_error"]:.9f},{row["max_error"]:.9f},'
                     f'{row["num_vertices"]},{row["num_faces"]},{row["violations"]}\n'

@@ -48,6 +48,10 @@ def generate_tin(grid: Grid, method: str = "terra", max_error: float = 2.0,
         from ..kernels.dense import generate_tin_dense_quadwalk
 
         return generate_tin_dense_quadwalk(grid, step)
+    if method == "curvature":
+        from ..kernels.curvature import generate_tin_curvature
+
+        return generate_tin_curvature(grid, max_error)
     raise ValueError(f"unknown meshing method {method!r}")
 
 

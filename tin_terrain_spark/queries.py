@@ -396,10 +396,21 @@ def q_dense_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("tile_x", "tile_y", "n_points", "n_cells", "n_vertices", "n_faces")
 
 
+def q_curvature_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-curvature: Laplacian point reduction + sweep-hull Delaunay per
+    tile (simple_meshing.cpp:16-34; the max_error slot carries the
+    threshold). Deterministic → golden-row oracle."""
+    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS)
+    return mesh_tiles(
+        pts, zoom=2, grid_bits=GRID_BITS, method="curvature", max_error=0.5
+    ).drop("terrain")
+
+
 MESH_QUERIES = {
     "terra_tiles": q_terra_tiles,
     "zemlya_tiles": q_zemlya_tiles,
     "dense_tiles": q_dense_tiles,
+    "curvature_tiles": q_curvature_tiles,
 }
 
 def _golden_oracle_sql(name: str) -> str:
@@ -439,6 +450,10 @@ def _golden_oracle_sql(name: str) -> str:
 
 ORACLES["terra_tiles"] = _golden_oracle_sql("terra_tiles")
 ORACLES["zemlya_tiles"] = _golden_oracle_sql("zemlya_tiles")
+try:
+    ORACLES["curvature_tiles"] = _golden_oracle_sql("curvature_tiles")
+except KeyError:
+    pass  # goldens.json not yet refrozen for this query
 
 # dense count law at grid_n=32, step=2: verts_per_row = (31//2)+1+1 = 17
 # → 289 vertices, 16*16*2 = 512 faces per tile (simple_meshing.cpp:115-125)
