@@ -61,3 +61,30 @@ def stream_tile_ingest(spark: SparkSession, path_dir: str, zoom: int = 3) -> Dat
         F.expr(GX.tile_sql(GX.mercator_x_sql("doc_id"), zoom)).alias("tile_x"),
         F.expr(GX.tile_sql(GX.mercator_y_sql("doc_id"), zoom)).alias("tile_y"),
     )
+
+
+def stream_exact_dedup(
+    spark: SparkSession, path_dir: str, watermark: str = "1 hour",
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen page per content hash.
+
+    The charter's exact-dedup operator (hash-groupBy in batch,
+    operators/dedup.exact_dedup) as an incremental stream: duplicates
+    arriving within the ingest-time watermark horizon are suppressed
+    with BOUNDED state (dropDuplicatesWithinWatermark keeps one
+    md5+timestamp per distinct page inside the horizon and evicts the
+    rest — at web-crawl scale the state is the working set, not the
+    corpus). Cross-horizon dups are handled by the periodic batch
+    exact_dedup compaction, the standard lambda split."""
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(path_dir)
+    )
+    hashed = docs.withColumn("text_md5", F.md5(F.col("text"))).withColumn(
+        "ingest_ts", F.current_timestamp()
+    )
+    return hashed.withWatermark("ingest_ts", watermark).dropDuplicatesWithinWatermark(
+        ["text_md5"]
+    )
