@@ -59,6 +59,7 @@ def bench_queries():
         "ann_brute": ("similarity", QE.QUERIES_EXT["ann_brute"]),
         "ann_lsh": ("similarity", QE.QUERIES_EXT["ann_lsh"]),
         "embed_near_dup": ("similarity", QE.QUERIES_EXT["embed_near_dup"]),
+        "ann_ivf": ("similarity", QE.QUERIES_EXT["ann_ivf"]),
         "mesh_curvature_z4": ("mesh_aux", mesh_q("curvature", 4, max_error=0.5)),
         # mesh_aux: not in the tiles/sec headline (keeps the metric
         # comparable across rounds); timed + counted like everything else

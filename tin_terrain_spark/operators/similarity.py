@@ -109,6 +109,187 @@ def ann_lsh(
     )
 
 
+L2 = "aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def ivf_centroids(emb: DataFrame, n_cent: int = 16, iters: int = 1) -> DataFrame:
+    """Deterministic IVF coarse quantizer: centroids seeded from the
+    first n_cent vectors, refined by `iters` Lloyd steps (assign by L2,
+    recompute per-dimension means). Everything is DataFrame ops —
+    assignment is a broadcast distance join + argmin window (partitioned
+    by vec_id), the mean recompute is posexplode → groupBy(centroid,
+    dim) → ordered re-assembly. Means round to 5 decimals so the
+    (order-dependent) double sums agree bit-wise with the SQL oracle.
+
+    Returns (centroid_id, centroid ARRAY<DOUBLE>)."""
+    cent = emb.filter(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("centroid"),
+    )
+    for _ in range(iters):
+        d2 = F.expr(L2.format(a="embedding", b="centroid"))
+        asg = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("d2", F.round(d2, 6))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "centroid_id", "embedding")
+        )
+        dims = asg.select(
+            "centroid_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        means = dims.groupBy("centroid_id", "dim").agg(
+            F.round(F.avg(F.col("val").cast("double")), 5).alias("m")
+        )
+        cent = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+                ).alias("centroid")
+            )
+        )
+    return cent
+
+
+def assign_ivf(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): each vector's inverted-list bucket."""
+    d2 = F.expr(L2.format(a="embedding", b="centroid"))
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.round(d2, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ann_ivf(
+    emb: DataFrame, n_queries: int = 8, k: int = 10,
+    n_cent: int = 16, n_probe: int = 4, iters: int = 1,
+) -> DataFrame:
+    """IVF-probed ANN (the charter's IVF scale path, alongside the
+    SRP-LSH variant): queries probe their n_probe nearest centroids,
+    candidates come from those inverted lists only (equi-join on
+    centroid_id — at 10^12 rows this scans n_probe/n_cent of the
+    corpus), exact cosine refine + top-k. Fully deterministic →
+    sql_ann_ivf oracle."""
+    cent = ivf_centroids(emb, n_cent, iters)
+    asg = assign_ivf(emb, cent)
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    qd2 = F.expr(L2.format(a="q_emb", b="centroid"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("d2", F.round(qd2, 6))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("centroid_id").asc())
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("q_id", "centroid_id")
+    )
+    cand_ids = (
+        asg.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    cand = cand_ids.join(emb, "vec_id").join(F.broadcast(q), "q_id")
+    dot = F.expr(DOT.format(a="embedding", b="q_emb"))
+    cos = dot / (F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("q_emb")))
+    scored = cand.withColumn("score", F.round(cos, 4))
+    w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank", "score")
+    )
+
+
+def sql_ann_ivf(
+    n_queries: int = 8, k: int = 10, n_cent: int = 16, n_probe: int = 4,
+) -> str:
+    """DuckDB twin of ann_ivf with iters=1 (seed → one Lloyd step →
+    assign → probe → refine)."""
+    l2 = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))))"
+    )
+    return f"""
+      WITH seed AS (
+        SELECT vec_id AS centroid_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+        FROM embeddings WHERE vec_id < {n_cent}
+      ), asg0 AS (
+        SELECT vec_id, centroid_id, embedding FROM (
+          SELECT e.vec_id, s.centroid_id, e.embedding,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round({l2.format(a='e.embedding', b='s.centroid')}, 6) ASC, s.centroid_id ASC) AS rk
+          FROM embeddings e, seed s
+        ) WHERE rk = 1
+      ), means AS (
+        SELECT centroid_id, dim, round(avg(CAST(val AS DOUBLE)), 5) AS m
+        FROM (
+          SELECT centroid_id, unnest(embedding) AS val,
+                 generate_subscripts(embedding, 1) - 1 AS dim
+          FROM asg0
+        ) GROUP BY centroid_id, dim
+      ), cent AS (
+        SELECT centroid_id, list(m ORDER BY dim) AS centroid
+        FROM means GROUP BY centroid_id
+      ), asg AS (
+        SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round({l2.format(a='e.embedding', b='c.centroid')}, 6) ASC, c.centroid_id ASC) AS rk
+          FROM embeddings e, cent c
+        ) WHERE rk = 1
+      ), q AS (
+        SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < {n_queries}
+      ), probes AS (
+        SELECT q_id, centroid_id FROM (
+          SELECT q.q_id, c.centroid_id,
+                 row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY round({l2.format(a='q.q_emb', b='c.centroid')}, 6) ASC, c.centroid_id ASC) AS rk
+          FROM q, cent c
+        ) WHERE rk <= {n_probe}
+      ), cand AS (
+        SELECT DISTINCT p.q_id, a.vec_id
+        FROM asg a JOIN probes p USING (centroid_id)
+        WHERE a.vec_id <> p.q_id
+      ), pairs AS (
+        SELECT c.q_id, c.vec_id,
+               list_sum(list_transform(list_zip(v.embedding, qe.q_emb),
+                        pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) AS dot,
+               sqrt(list_sum(list_transform(v.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+               sqrt(list_sum(list_transform(qe.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        FROM cand c
+        JOIN embeddings v ON v.vec_id = c.vec_id
+        JOIN q qe ON qe.q_id = c.q_id
+      )
+      SELECT q_id, vec_id, rank, score FROM (
+        SELECT q_id, vec_id, round(dot / (nv * nq), 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY round(dot / (nv * nq), 4) DESC, vec_id ASC) AS INT) AS rank
+        FROM pairs
+      ) WHERE rank <= {k}
+    """
+
+
 def embed_near_dup(
     emb: DataFrame, threshold: float = 0.35,
     n_tables: int = 4, planes_per_table: int = 4, bucket_cap: int = 200,

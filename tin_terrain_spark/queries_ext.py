@@ -234,6 +234,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh(emb)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (deterministic seeded Lloyd quantizer)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ann_ivf(emb)
+
+
 # --------------------------------------------------------------------------
 # events (stream-table analytics)
 # --------------------------------------------------------------------------
@@ -322,6 +328,7 @@ QUERIES_EXT = {
     "lang_profile": q_lang_profile,
     "ann_brute": q_ann_brute,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
 }
@@ -344,6 +351,7 @@ ORACLES_EXT = {
     # ann_lsh is approximate vs brute, but DETERMINISTIC: the integer
     # SRP bucketing is SQL-expressible, so it gets a full oracle too
     "ann_lsh": S.sql_ann_lsh(),
+    "ann_ivf": S.sql_ann_ivf(),
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
 }
