@@ -129,6 +129,30 @@ def sql_token_counts() -> str:
     """
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Text normalization (the pipeline's canonicalization step):
+    lowercase, trim, collapse whitespace runs. Emits the normalized
+    length and an md5 witness so the row is scalar-comparable; the
+    normalized text itself stays internal (100 TB of strings don't
+    travel for a checksum)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), "  +", " ")
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+        (norm == F.col("text")).alias("already_normal"),
+    )
+
+
+SQL_NORMALIZE_TEXT = """
+  SELECT doc_id,
+         length(regexp_replace(trim(lower(text)), '  +', ' ', 'g')) AS n_chars_norm,
+         md5(regexp_replace(trim(lower(text)), '  +', ' ', 'g')) AS norm_md5,
+         regexp_replace(trim(lower(text)), '  +', ' ', 'g') = text AS already_normal
+  FROM documents
+"""
+
+
 def langid(docs: DataFrame) -> DataFrame:
     """Heuristic language id: stopword-hit rate as the 'en' score —
     the deterministic stand-in for an n-gram language profile (the

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .functions import geocode_exprs as GX
 from .operators import dedup as D
 from .operators import joins as J
+from .operators import sampling as SM
 from .operators import similarity as S
 from .operators import textops as T
 from .operators.geocode import geocode_points
@@ -191,6 +192,18 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.token_counts(_docs(spark, sf_dir))
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.normalize_text(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SM.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SM.sample_profile(_docs(spark, sf_dir))
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (charter dedup method #5):
     capped SRP buckets → exact cosine ≥ 0.35."""
@@ -324,6 +337,9 @@ QUERIES_EXT = {
     "fingerprints": q_fingerprints,
     "langid": q_langid,
     "token_counts": q_token_counts,
+    "normalize_text": q_normalize_text,
+    "stratified_sample": q_stratified_sample,
+    "sample_profile": q_sample_profile,
     "embed_near_dup": q_embed_near_dup,
     "lang_profile": q_lang_profile,
     "ann_brute": q_ann_brute,
@@ -345,7 +361,10 @@ ORACLES_EXT = {
     "fingerprints": T.SQL_FINGERPRINTS,
     "langid": T.sql_langid(),
     "token_counts": T.sql_token_counts(),
+    "normalize_text": T.SQL_NORMALIZE_TEXT,
     "embed_near_dup": S.sql_embed_near_dup(),
+    "stratified_sample": SM.sql_stratified_sample(),
+    "sample_profile": SM.sql_sample_profile(),
     "lang_profile": SQL_LANG_PROFILE,
     "ann_brute": S.sql_ann_brute(),
     # ann_lsh is approximate vs brute, but DETERMINISTIC: the integer
