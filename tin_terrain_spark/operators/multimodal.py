@@ -103,6 +103,46 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id BIGINT, out_r INT, out_c INT, pval FLOAT"
+
+
+def resize_media(media: DataFrame, out: int = 8) -> DataFrame:
+    """Resize (area-pooling) of decoded media to a fixed out x out
+    grid: output cell (i, j) = SUM of source pixels whose block index
+    floor(r*out/H), floor(c*out/W) maps to it. Sum (not mean) keeps the
+    arithmetic exact in float32, so the whole decode→resize path is
+    value-checked against the SQL oracle. Emitted long-form (one row
+    per output cell) — the Arrow batch is the decode/resize unit."""
+
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                px = _decode_stub(
+                    bytes(payload) if payload is not None else b"", int(w), int(h)
+                )
+                hh, ww = px.shape
+                ri = (np.arange(hh) * out) // hh
+                ci = (np.arange(ww) * out) // ww
+                pooled = np.zeros((out, out), dtype=np.float64)
+                np.add.at(pooled, (ri[:, None], ci[None, :]), px.astype(np.float64))
+                for i in range(out):
+                    for j in range(out):
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "out_r": i,
+                                "out_c": j,
+                                "pval": np.float32(pooled[i, j]),
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, RESIZE_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every: int = 10, dim: int = 8) -> DataFrame:
     """Frame sampling for video rows: explode frame indices 0, every,
     2*every, ... < n_frames, then per-frame stub features. The explode

@@ -442,6 +442,36 @@ SQL_MEDIA_FEATURES = """
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize (area-pool to 8x8) — exact-arithmetic decode
+    makes the pooled sums bit-comparable to the SQL oracle."""
+    from .operators.multimodal import resize_media, synth_media
+
+    r = resize_media(synth_media(_docs(spark, sf_dir)))
+    return r.select(
+        "doc_id", "out_r", "out_c", F.col("pval").cast("double").alias("pval")
+    )
+
+
+SQL_MEDIA_RESIZE = """
+  WITH m AS (
+    SELECT doc_id,
+           (doc_id * 37) % 512 + 16 AS width,
+           (doc_id * 53) % 512 + 16 AS height,
+           CAST(concat('0x', substr(sha256(text), 1, 14)) AS BIGINT) AS seed
+    FROM documents
+  )
+  SELECT doc_id,
+         CAST(FLOOR(r * 8 / least(height, 32)) AS INT) AS out_r,
+         CAST(FLOOR(c * 8 / least(width, 32)) AS INT) AS out_c,
+         sum(CAST((seed + (r + 1) * 1315423911 + (c + 1) * 2654435761) % 65521 AS DOUBLE) / 65536) AS pval
+  FROM m,
+  LATERAL (SELECT unnest(range(0, least(height, 32))) AS r) dr,
+  LATERAL (SELECT unnest(range(0, least(width, 32))) AS c) dc
+  GROUP BY doc_id, 2, 3
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import sample_frames, synth_media
 
@@ -491,12 +521,14 @@ QUERIES_EXT.update(
     {
         "text_roundtrip": q_text_roundtrip,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "tiles_obj": q_tiles_obj,
     }
 )
 ORACLES_EXT["text_roundtrip"] = SQL_TEXT_ROUNDTRIP
 ORACLES_EXT["media_features"] = SQL_MEDIA_FEATURES
+ORACLES_EXT["media_resize"] = SQL_MEDIA_RESIZE
 ORACLES_EXT["frame_sample"] = SQL_FRAME_SAMPLE
 
 
