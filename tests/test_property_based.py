@@ -1,0 +1,125 @@
+"""Property-based tests (hypothesis) for the invariant-rich kernels:
+codec roundtrips, watermark index coding, quantization bounds,
+clipping containment/area, Delaunay validity, GeoTIFF roundtrip.
+These complement the example-based suites with adversarial inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+SET = settings(max_examples=25, deadline=None)
+
+
+@given(st.integers(min_value=-(2**15), max_value=2**15 - 1))
+@SET
+def test_zigzag_roundtrip(i):
+    # int16 domain: the quantized-mesh wire format encodes int16 deltas
+    # (QuantizedMeshIO.cpp:96-104); wider ints are out of contract
+    from tin_terrain_spark.kernels.codec import zig_zag_decode, zig_zag_encode
+
+    e = zig_zag_encode(i)
+    assert e >= 0
+    assert zig_zag_decode(e) == i
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=3, max_size=300)
+)
+@SET
+def test_watermark_roundtrip(idx):
+    from tin_terrain_spark.kernels.codec import (
+        high_watermark_decode,
+        high_watermark_encode,
+    )
+
+    arr = np.asarray(idx, dtype=np.int64)
+    out = high_watermark_decode(high_watermark_encode(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@SET
+def test_quantize_bounds_and_monotone(vmin, span, frac):
+    from tin_terrain_spark.kernels.codec import dequantize_coordinate, quantize_coordinate
+
+    vmax = vmin + span
+    v = vmin + span * frac
+    q = quantize_coordinate(np.array([v]), vmin, vmax)[0]
+    assert 0 <= q <= 32767
+    back = dequantize_coordinate(np.array([q]), vmin, vmax)[0]
+    # quantization error bounded by one step
+    assert abs(back - v) <= span / 32767 + 1e-9 * max(abs(vmin), abs(vmax), 1.0)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-2.0, max_value=3.0, allow_nan=False),
+            st.floats(min_value=-2.0, max_value=3.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=3,
+    )
+)
+@SET
+def test_clip_to_unit_quadrant_containment(tri):
+    from tin_terrain_spark.kernels.geometry import clip_triangles_to_01_quadrant, tri_area
+
+    t = np.asarray(tri, dtype=np.float64).reshape(1, 3, 3)
+    area_in = abs(tri_area(*t[0, :, :2].reshape(-1)))
+    out = clip_triangles_to_01_quadrant(t)
+    # all output vertices inside [0,1]^2 (up to clip epsilon)
+    if len(out):
+        assert out[:, :, 0].min() >= -1e-9 and out[:, :, 0].max() <= 1 + 1e-9
+        assert out[:, :, 1].min() >= -1e-9 and out[:, :, 1].max() <= 1 + 1e-9
+    # clipping never increases total area
+    area_out = sum(abs(tri_area(*f[:, :2].reshape(-1))) for f in out)
+    assert area_out <= area_in + 1e-9
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.integers(min_value=10, max_value=60))
+@SET
+def test_delaunator_property_random_sets(seed, n):
+    from tin_terrain_spark.kernels.delaunator import generate_delaunay_faces_sweephull
+
+    rng = np.random.RandomState(seed)
+    pts = rng.rand(n, 2) * 100
+    faces = generate_delaunay_faces_sweephull(pts)
+    if faces is None:
+        return  # degenerate input (hypothesis found collinear-ish set)
+    assert faces.min() >= 0 and faces.max() < n
+    # Euler bound: faces <= 2n - 5 for a triangulation with hull >= 3
+    assert len(faces) <= 2 * n - 5 + 1
+
+
+@given(
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=2, max_value=40),
+    st.booleans(),
+    st.floats(min_value=0.1, max_value=1000.0, allow_nan=False),
+)
+@SET
+def test_geotiff_roundtrip_shapes(h, w, compress, cellsize):
+    from tin_terrain_spark.kernels.raster import Grid
+    from tin_terrain_spark.sources.geotiff import read_geotiff, write_geotiff
+    import tempfile, os
+
+    rng = np.random.RandomState(h * 41 + w)
+    z = (rng.rand(h, w).astype(np.float32) * 100).astype(np.float64)
+    g = Grid(z, xpos=-50.0, ypos=70.0, cellsize=cellsize, ndv=-9999.0)
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        path = f.name
+    try:
+        write_geotiff(g, path, compress=compress)
+        r = read_geotiff(open(path, "rb").read())
+    finally:
+        os.unlink(path)
+    np.testing.assert_array_equal(r.z, g.z)
+    assert abs(r.cellsize - cellsize) < 1e-12 * max(1.0, cellsize)
+    assert r.xpos == g.xpos
