@@ -194,6 +194,68 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def winnow_fingerprints(docs: DataFrame, window: int = 4, n: int = NGRAM) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer/
+    Wilkerson/Aiken 2003): hash every n-gram shingle IN ORDER, slide a
+    window of `window` consecutive hashes, keep each window's minimum;
+    the distinct kept hashes are the fingerprint set. Guarantees every
+    sufficiently long match between documents shares a fingerprint —
+    the positional robustness plain minhash lacks.
+
+    Pure window-function formulation (partitioned by doc_id — scales
+    per document, no global state): the same portable md5-prefix hash
+    as the rest of the dedup family, so the DuckDB twin is bit-exact."""
+    from pyspark.sql import Window as W
+
+    # ORDERED shingles (no distinct — winnowing is positional)
+    idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
+    sh = (
+        tokens_df(docs)
+        .filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {idxs}))")
+            ).alias("pos", "tok"),
+        )
+        .withColumn("h", _tok_hash(F.col("tok")))
+    )
+    wdoc = W.partitionBy("doc_id")
+    wslide = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    picked = (
+        sh.withColumn("n_sh", F.count(F.lit(1)).over(wdoc))
+        .withColumn("winmin", F.min("h").over(wslide))
+        .filter(F.col("pos") <= F.col("n_sh") - window)
+        .select("doc_id", F.col("winmin").alias("fp"))
+        .distinct()
+    )
+    return picked
+
+
+def sql_winnow_fingerprints(window: int = 4, n: int = NGRAM) -> str:
+    idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
+    tok_hash = SQL_TOK_HASH.format(s="tok")
+    return f"""
+      WITH sh AS (
+        SELECT doc_id, i - 1 AS pos, {tok_hash} AS h
+        FROM (
+          SELECT doc_id, concat_ws(' ', {idxs}) AS tok, i
+          FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          LATERAL (SELECT unnest(range(1, len(toks) - {n - 2})) AS i)
+          WHERE len(toks) >= {n}
+        )
+      ), win AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id) AS n_sh,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS winmin
+        FROM sh
+      )
+      SELECT DISTINCT doc_id, winmin AS fp
+      FROM win WHERE pos <= n_sh - {window}
+    """
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash: bit j of hash(tok) votes ±1; doc bit = majority.
     Token ids come from the fixed string hash over unigram token

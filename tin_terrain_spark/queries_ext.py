@@ -155,6 +155,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_docs(spark, sf_dir))
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (positional dedup/plagiarism
+    technique — windowed min over ordered shingle hashes)."""
+    return D.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 SQL_SIMHASH = f"""
   WITH ids AS (
     SELECT doc_id, ({D.SQL_TOK_HASH.format(s='tok')} * 2654435761 + 1013904223) % 2147483647 AS h
@@ -333,6 +339,7 @@ QUERIES_EXT = {
     "minhash": q_minhash,
     "lsh_candidates": q_lsh_candidates,
     "simhash": q_simhash,
+    "winnow": q_winnow,
     "text_stats": q_text_stats,
     "fingerprints": q_fingerprints,
     "langid": q_langid,
@@ -357,6 +364,7 @@ ORACLES_EXT = {
     "minhash": SQL_MINHASH,
     "lsh_candidates": SQL_LSH_CANDIDATES,
     "simhash": SQL_SIMHASH,
+    "winnow": D.sql_winnow_fingerprints(),
     "text_stats": T.sql_text_stats(),
     "fingerprints": T.SQL_FINGERPRINTS,
     "langid": T.sql_langid(),
