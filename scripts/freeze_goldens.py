@@ -61,6 +61,12 @@ def main() -> None:
         cols = None
         for sf_dir in SF_DIRS:
             df = fn(spark, sf_dir)
+            # boolean columns are oracled as literal TRUE in
+            # queries._golden_oracle_sql (independent invariants), never
+            # frozen — freezing them would make them self-referential
+            df = df.drop(
+                *[f.name for f in df.schema.fields if f.dataType.simpleString() == "boolean"]
+            )
             cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
             rows = [
                 [canon(v) for v in row]

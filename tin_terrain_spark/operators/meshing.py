@@ -35,7 +35,8 @@ from ..functions import geocode_exprs as GX
 TILE_SCHEMA = (
     "zoom INT, tile_x BIGINT, tile_y BIGINT, n_points BIGINT, "
     "n_cells INT, n_vertices INT, n_faces INT, max_err DOUBLE, "
-    "min_z DOUBLE, max_z DOUBLE, terrain BINARY"
+    "min_z DOUBLE, max_z DOUBLE, terrain BINARY, "
+    "euler_ok BOOLEAN, verts_on_grid_ok BOOLEAN, cover_ok BOOLEAN"
 )
 
 
@@ -189,12 +190,54 @@ def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
             raise ValueError(f"unknown meshing method {method!r}")
 
         max_err = float("nan")
+        euler_ok = verts_on_grid_ok = cover_ok = None
         if compute_error and len(faces):
             r = rasterise_mesh(verts, faces, size, size)
             src = Grid(np.where(np.isnan(z), -99999.0, z), ndv=-99999.0)
             _, _, max_err, n_valid, _ = measure_error(r, src)
             if n_valid == 0:
                 max_err = float("nan")
+
+            # independent invariants, oracled as literal TRUE (a
+            # wrong-but-deterministic kernel cannot pass them):
+            #  - Euler bound for any planar triangulation on the
+            #    PRE-clip mesh: f <= 2v - 4
+            #  - every pre-clip vertex sits exactly on a grid cell
+            #    center with z equal to that cell's (post-corner-repair)
+            #    value — greedy insertion only ever promotes cells
+            #  - the triangulation rasterizes back onto every interior
+            #    source-valid pixel (full hull coverage, no holes)
+            # NOTE max_err <= max_error is NOT an invariant of the
+            # reference algorithm: the scanline restart-at-v0x quirk
+            # (TerraMesh.cpp:150-166) leaves cells unscanned, and the
+            # reference only RECORDS stats_row.max_error
+            # (benchmark_workflow.cpp:880-924), never asserts it; the
+            # measured value is frozen as a golden column instead.
+            euler_ok = bool(len(faces) <= 2 * len(verts) - 4)
+            vc = grid.x2col(verts[:, 0])
+            vr = grid.y2row(verts[:, 1])
+            inb = (vc >= 0) & (vc < size) & (vr >= 0) & (vr < size)
+            if method == "zemlya":
+                # zemlya vertices carry m_result z (pyramid averages,
+                # ZemlyaMesh.cpp:358-385), not raw raster values — the
+                # independent invariant is position-on-lattice plus z
+                # inside the raster's value range (averages of samples
+                # cannot escape [min, max])
+                lo = float(np.nanmin(z)) if np.isfinite(z).any() else 0.0
+                hi = float(np.nanmax(z)) if np.isfinite(z).any() else 0.0
+                verts_on_grid_ok = bool(
+                    inb.all()
+                    and np.all(np.isfinite(verts[:, 2]))
+                    and np.all(verts[:, 2] >= min(lo, 0.0) - 1e-9)
+                    and np.all(verts[:, 2] <= max(hi, 0.0) + 1e-9)
+                )
+            else:
+                verts_on_grid_ok = bool(
+                    inb.all()
+                    and np.array_equal(z[vr, vc], verts[:, 2], equal_nan=True)
+                )
+            src_in = src.z[2 : size - 2, 2 : size - 2]
+            cover_ok = bool(n_valid == int((src_in != src.ndv).sum()))
 
         # normalize to unit tile space (TileMaker.cpp:71-105)
         tris = verts[faces]  # (m, 3, 3) world coords
@@ -237,6 +280,9 @@ def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
                     "min_z": min_z,
                     "max_z": max_z,
                     "terrain": terrain,
+                    "euler_ok": euler_ok,
+                    "verts_on_grid_ok": verts_on_grid_ok,
+                    "cover_ok": cover_ok,
                 }
             ]
         )

@@ -370,17 +370,25 @@ ORACLES = {
 
 
 def q_terra_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS)
-    return mesh_tiles(pts, zoom=2, grid_bits=GRID_BITS, method="terra", max_error=2.0).drop(
-        "terrain"
-    )
+    """Greedy Terra meshing at zoom 1 (4 tiles — the gate-budget scale;
+    zoom-N behavior is identical per-tile). compute_error=True wires the
+    reference's E2E rasterise-back error measurement
+    (benchmark_workflow.cpp:880-924) into the gated output: max_err is a
+    frozen golden column, and euler_ok / verts_on_grid_ok / cover_ok are
+    TRUE-oracled independent invariants."""
+    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=GRID_BITS)
+    return mesh_tiles(
+        pts, zoom=1, grid_bits=GRID_BITS, method="terra", max_error=2.0,
+        compute_error=True,
+    ).drop("terrain")
 
 
 def q_zemlya_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS)
-    return mesh_tiles(pts, zoom=2, grid_bits=GRID_BITS, method="zemlya", max_error=2.0).drop(
-        "terrain"
-    )
+    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=GRID_BITS)
+    return mesh_tiles(
+        pts, zoom=1, grid_bits=GRID_BITS, method="zemlya", max_error=2.0,
+        compute_error=True,
+    ).drop("terrain")
 
 
 def q_dense_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,9 +408,10 @@ def q_curvature_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M-curvature: Laplacian point reduction + sweep-hull Delaunay per
     tile (simple_meshing.cpp:16-34; the max_error slot carries the
     threshold). Deterministic → golden-row oracle."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS)
+    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=GRID_BITS)
     return mesh_tiles(
-        pts, zoom=2, grid_bits=GRID_BITS, method="curvature", max_error=0.5
+        pts, zoom=1, grid_bits=GRID_BITS, method="curvature", max_error=0.5,
+        compute_error=True,
     ).drop("terrain")
 
 
@@ -413,12 +422,18 @@ MESH_QUERIES = {
     "curvature_tiles": q_curvature_tiles,
 }
 
-def _golden_oracle_sql(name: str) -> str:
+def _golden_oracle_sql(name: str, true_cols: tuple[str, ...] = ()) -> str:
     """Golden-row oracle for deterministic non-SQL-expressible queries
     (terra/zemlya greedy meshing, OBJ sink): the frozen rows from
     scripts/freeze_goldens.py, dispatched on an md5 fingerprint of the
     documents table so the oracle only matches the exact dataset it was
-    frozen against (unknown data → empty result → loud gate failure)."""
+    frozen against (unknown data → empty result → loud gate failure).
+
+    `true_cols` are NOT frozen: the oracle emits them as literal TRUE,
+    so they are independent invariants the engine must actually satisfy
+    (Euler bound, vertex-on-grid exactness, rasterize-back coverage) —
+    a wrong-but-deterministic kernel fails the hash even though the
+    numeric columns are self-referential goldens."""
     import json
     import os
 
@@ -427,6 +442,7 @@ def _golden_oracle_sql(name: str) -> str:
         g = json.load(f)[name]
     cols = g["columns"]
     col_names = ", ".join(c for c, _ in cols)
+    true_sel = "".join(f", TRUE AS {c}" for c in true_cols)
 
     def lit(v, typ: str) -> str:
         if v is None:
@@ -442,16 +458,19 @@ def _golden_oracle_sql(name: str) -> str:
             for row in rows
         )
         parts.append(
-            f"SELECT {col_names} FROM (VALUES {vals}) AS v({col_names}) "
+            f"SELECT {col_names}{true_sel} FROM (VALUES {vals}) AS v({col_names}) "
             f"WHERE (SELECT md5(string_agg(text, '|' ORDER BY doc_id)) FROM documents) = '{fp}'"
         )
     return " UNION ALL ".join(parts)
 
 
-ORACLES["terra_tiles"] = _golden_oracle_sql("terra_tiles")
-ORACLES["zemlya_tiles"] = _golden_oracle_sql("zemlya_tiles")
+_MESH_INVARIANT_COLS = ("euler_ok", "verts_on_grid_ok", "cover_ok")
+ORACLES["terra_tiles"] = _golden_oracle_sql("terra_tiles", _MESH_INVARIANT_COLS)
+ORACLES["zemlya_tiles"] = _golden_oracle_sql("zemlya_tiles", _MESH_INVARIANT_COLS)
 try:
-    ORACLES["curvature_tiles"] = _golden_oracle_sql("curvature_tiles")
+    ORACLES["curvature_tiles"] = _golden_oracle_sql(
+        "curvature_tiles", _MESH_INVARIANT_COLS
+    )
 except KeyError:
     pass  # goldens.json not yet refrozen for this query
 
