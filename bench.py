@@ -52,6 +52,8 @@ def bench_queries():
         "zoom_pyramid": ("relational", Q.QUERIES["zoom_pyramid"]),
         "pip": ("join", QE.QUERIES_EXT["pip"]),
         "knn_ring": ("join", QE.QUERIES_EXT["knn_ring"]),
+        "knn_hex": ("join", QE.QUERIES_EXT["knn_hex"]),
+        "hex_cells": ("relational", QE.QUERIES_EXT["hex_cells"]),
         "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
         "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
         "near_dup_pairs": ("dedup", QE.QUERIES_EXT["near_dup_pairs"]),

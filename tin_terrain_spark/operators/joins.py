@@ -180,6 +180,7 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
     done: DataFrame | None = None
     remaining = q
     ring = initial_ring
+    round_caches: list[DataFrame] = []
     for _ in range(max_ring_rounds):
         cand = pts.join(
             F.broadcast(remaining),
@@ -199,6 +200,7 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
             .select("q_id", "doc_id", "rank", "dist2")
         ).persist()
         topk.count()  # materialize ONCE; both consumers read the cache
+        round_caches.append(topk)
 
         guarantee2 = float(ring * cell_m) ** 2
         resolved = (
@@ -211,13 +213,27 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
         done = done_r if done is None else done.unionAll(done_r)
         remaining = remaining.join(F.broadcast(resolved), "q_id", "left_anti")
         if remaining.count() == 0:
-            return done
+            return _finalize_rounds(done, round_caches)
         ring *= 4
 
     leftover = knn_brute(
         pts, remaining.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
     )
-    return done.unionAll(leftover)
+    return _finalize_rounds(done.unionAll(leftover), round_caches)
+
+
+def _finalize_rounds(result: DataFrame, round_caches: list[DataFrame]) -> DataFrame:
+    """Pin the (tiny: |queries| x k rows) final result, then release
+    every per-round top-k cache — without this, repeated knn calls in a
+    long-lived driver pin one cached DataFrame per ring round for the
+    life of the session. The single result cache is the documented
+    residue; callers that care run spark.catalog.clearCache() (bench.py
+    does, between queries)."""
+    result = result.persist()
+    result.count()
+    for c in round_caches:
+        c.unpersist()
+    return result
 
 
 # unit CCW octagon (trig-free: exact double literals shared with the oracle)
@@ -305,3 +321,68 @@ def pip_convex_join(points: DataFrame, poly_edges: DataFrame) -> DataFrame:
         .filter((F.col("min_cross") >= 0) & (F.col("n_edges") == 8))
         .select("poly_id", "doc_id")
     )
+
+
+def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
+            k: int = 5, initial_ring: int = 2,
+            repartition_to: int | None = None,
+            max_ring_rounds: int = 3) -> DataFrame:
+    """J6 over the H3-style hex index (charter: "kNN lookups over H3
+    ring expansion"): identical iterative structure to knn_ring, but
+    candidate rings are hexagonal — hex_distance(cell, query_cell) <=
+    R — and the resolution guarantee uses the hex staircase geometry
+    (hexgrid.hex_ring_guarantee_m). Cells are computed on the fly from
+    the meter coordinates with pure Column expressions (no UDF, no
+    native lib). Exactness: results are hash-equal to knn_brute (the
+    driver gate's oracle recomputes brute-force kNN in DuckDB)."""
+    from ..functions import hexgrid as HG
+
+    pts = points.select("doc_id", "x", "y")
+    if repartition_to is not None:
+        pts = pts.repartition(repartition_to)
+    pts = HG.with_hex_cell(pts, hex_size)
+    q = HG.with_hex_cell(
+        queries.select("q_id", F.col("x").alias("qx"), F.col("y").alias("qy")),
+        hex_size, x="qx", y="qy", q_col="qhq", r_col="qhr",
+    )
+
+    w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
+    done: DataFrame | None = None
+    remaining = q
+    ring = initial_ring
+    round_caches: list[DataFrame] = []
+    for _ in range(max_ring_rounds):
+        hd = HG.hex_dist_cols(
+            F.col("hex_q") - F.col("qhq"), F.col("hex_r") - F.col("qhr")
+        )
+        cand = pts.join(F.broadcast(remaining), hd <= ring, "inner").withColumn(
+            "dist2",
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "doc_id", "rank", "dist2")
+        ).persist()
+        topk.count()
+        round_caches.append(topk)
+
+        guarantee2 = HG.hex_ring_guarantee_m(ring, hex_size) ** 2
+        resolved = (
+            topk.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
+            .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
+            .select("q_id")
+        )
+        done_r = topk.join(F.broadcast(resolved), "q_id", "left_semi")
+        done = done_r if done is None else done.unionAll(done_r)
+        remaining = remaining.join(F.broadcast(resolved), "q_id", "left_anti")
+        if remaining.count() == 0:
+            return _finalize_rounds(done, round_caches)
+        ring *= 4
+
+    leftover = knn_brute(
+        pts, remaining.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
+    )
+    return _finalize_rounds(done.unionAll(leftover), round_caches)

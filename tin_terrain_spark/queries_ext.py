@@ -85,6 +85,48 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hex circumradius ~ the square cell size at (ZOOM + GRID_BITS): the
+# same index granularity as the TMS cell grid, hexagonal geometry
+HEX_SIZE = GX.tile_size_meters(ZOOM + GRID_BITS)
+
+
+def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over H3-style hex-ring expansion (charter surface) — must
+    equal q_knn_brute, so the brute SQL is its (fully independent)
+    oracle."""
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    queries = pts.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"), "x", "y"
+    )
+    return J.knn_hex(
+        pts.filter(F.col("doc_id") >= 8), queries, HEX_SIZE, k=5, initial_ring=4,
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
+
+
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hex index itself: per-hex-cell doc counts — the hex analogue
+    of tile_counts, with the cell ids value-compared across engines."""
+    from .functions import hexgrid as HG
+
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    hexed = HG.with_hex_cell(pts.select("doc_id", "x", "y"), HEX_SIZE)
+    return hexed.groupBy("hex_q", "hex_r").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+def _sql_hex_cells() -> str:
+    from .functions import hexgrid as HG
+
+    inner = HG.hex_cell_subquery_sql(f"SELECT doc_id, x, y FROM ({_points_sql()})", HEX_SIZE)
+    return f"""
+      SELECT hex_q, hex_r, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM ({inner})
+      GROUP BY hex_q, hex_r
+    """
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
@@ -335,6 +377,8 @@ QUERIES_EXT = {
     "pip": q_pip,
     "knn_brute": q_knn_brute,
     "knn_ring": q_knn_ring,
+    "knn_hex": q_knn_hex,
+    "hex_cells": q_hex_cells,
     "exact_dedup": q_exact_dedup,
     "minhash": q_minhash,
     "lsh_candidates": q_lsh_candidates,
@@ -360,6 +404,8 @@ ORACLES_EXT = {
     "pip": SQL_PIP,
     "knn_brute": SQL_KNN_BRUTE,
     "knn_ring": SQL_KNN_BRUTE,  # the ring path must equal brute force
+    "knn_hex": SQL_KNN_BRUTE,  # hex-ring expansion must equal brute force
+    "hex_cells": _sql_hex_cells(),
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash": SQL_MINHASH,
     "lsh_candidates": SQL_LSH_CANDIDATES,
