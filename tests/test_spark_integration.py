@@ -267,3 +267,36 @@ def test_ann_ivf_recall(spark):
         key = (r["q_id"], r["vec_id"])
         if key in exact_scores:
             assert abs(r["score"] - exact_scores[key]) < 1e-9
+
+
+def test_lsh_hot_bucket_star(spark):
+    """A degenerate bucket (identical boilerplate docs > bucket_cap)
+    must still connect the whole cluster — as a hub star (O(bucket)
+    pairs), never O(n²), and never dropped."""
+    from tin_terrain_spark.operators.dedup import lsh_candidates
+
+    n_hot = 30
+    rows = [(i, "the same boilerplate page text repeated verbatim here") for i in range(n_hot)]
+    rows += [(100 + i, f"unique document number {i} with its own words entirely") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    pairs = lsh_candidates(docs, bucket_cap=10).collect()
+    hot = [(p.doc_a, p.doc_b) for p in pairs if p.doc_a < 100 and p.doc_b < 100]
+    # star: exactly n_hot-1 pairs, all anchored at the min id
+    assert len(hot) == n_hot - 1
+    assert all(a == 0 for a, _ in hot)
+    assert sorted(b for _, b in hot) == list(range(1, n_hot))
+
+
+def test_short_doc_shingles(spark):
+    """Docs shorter than NGRAM tokens get a whole-doc shingle: verbatim
+    short duplicates must reach near-dup output (jaccard 1.0)."""
+    from tin_terrain_spark.operators.dedup import near_dup_pairs, shingles_df
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc"), (3, "другой"), (4, "a much longer document with many words")],
+        "doc_id BIGINT, text STRING",
+    )
+    sh = shingles_df(docs).collect()
+    assert {r.doc_id for r in sh} == {1, 2, 3, 4}
+    nd = near_dup_pairs(docs).collect()
+    assert any(r.doc_a == 1 and r.doc_b == 2 and r.jaccard == 1.0 for r in nd)

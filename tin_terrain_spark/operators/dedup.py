@@ -60,16 +60,22 @@ def tokens_df(docs: DataFrame) -> DataFrame:
 def shingles_df(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """Distinct n-gram token shingles per doc (the minhash input —
     SURVEY's shingle→minhash→band→bucket-join chain). Docs shorter than
-    n tokens have no shingles and drop out, as in the reference
-    formulation of shingled minhash."""
+    n tokens get ONE whole-doc shingle instead of dropping out, so a
+    pair of verbatim short duplicates still shares a full signature
+    (without this, near-dup detection silently excludes short docs and
+    only exact_dedup would catch them)."""
     idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
     return (
         tokens_df(docs)
-        .filter(F.size("toks") >= n)
         .select(
             "doc_id",
             F.explode(
-                F.expr(f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {idxs}))")
+                F.when(
+                    F.size("toks") >= n,
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {idxs}))"
+                    ),
+                ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
             ).alias("tok"),
         )
         .distinct()
@@ -80,10 +86,16 @@ def sql_shingles(n: int = NGRAM) -> str:
     """DuckDB twin of shingles_df (1-based list indexing)."""
     idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
     return f"""
-      SELECT DISTINCT doc_id, concat_ws(' ', {idxs}) AS tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      LATERAL (SELECT unnest(range(1, len(toks) - {n - 2})) AS i)
-      WHERE len(toks) >= {n}
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, concat_ws(' ', {idxs}) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        LATERAL (SELECT unnest(range(1, len(toks) - {n - 2})) AS i)
+        WHERE len(toks) >= {n}
+        UNION ALL
+        SELECT doc_id, concat_ws(' ', toks) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) < {n}
+      )
     """
 
 
@@ -127,12 +139,14 @@ def lsh_candidates(docs: DataFrame, bands: int = 4, bucket_cap: int = BUCKET_CAP
     """Band the signature (rows_per_band = n_funcs/bands) and bucket by
     the band tuple; emit candidate pairs (a<b) per band, deduped.
 
-    Hot-bucket guard: buckets larger than bucket_cap are dropped before
-    the self-join — a single degenerate bucket (all-identical
-    boilerplate pages, the common case in web data) would otherwise emit
-    O(n²) pairs. The cap is a per-bucket count window (partitioned by
-    the bucket key — no global state), deterministic, and mirrored in
-    the DuckDB oracle."""
+    Hot-bucket guard: buckets larger than bucket_cap do NOT self-join —
+    a single degenerate bucket (all-identical boilerplate pages, the
+    common case in web data) would otherwise emit O(n²) pairs. Instead
+    each hot bucket emits a deterministic HUB STAR: every member pairs
+    with the bucket's min doc_id. That is O(bucket) rows, keeps the
+    whole cluster connected for union-find style dedup (the densest
+    duplicate clusters are exactly what dedup must not lose), and is
+    mirrored exactly in the DuckDB oracle."""
     from pyspark.sql import Window as W
 
     rows_per_band = len(MINHASH_FUNCS) // bands
@@ -144,17 +158,20 @@ def lsh_candidates(docs: DataFrame, bands: int = 4, bucket_cap: int = BUCKET_CAP
     band_key = sig.groupBy("doc_id", "band").agg(
         F.sum((F.col("func_id") % rows_per_band + 1) * F.col("minhash")).alias("band_key")
     )
-    band_key = band_key.withColumn(
-        "_bsz", F.count(F.lit(1)).over(W.partitionBy("band", "band_key"))
-    ).filter(F.col("_bsz") <= bucket_cap)
-    a = band_key.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    wb = W.partitionBy("band", "band_key")
+    band_key = band_key.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(
+        "_bmin", F.min("doc_id").over(wb)
     )
-    b = band_key.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    small = band_key.filter(F.col("_bsz") <= bucket_cap)
+    a = small.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = small.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     pairs = a.join(b, ["band", "band_key"], "inner").filter(
         F.col("doc_a") < F.col("doc_b")
     )
-    return pairs.select("doc_a", "doc_b").distinct()
+    star = band_key.filter(
+        (F.col("_bsz") > bucket_cap) & (F.col("doc_id") != F.col("_bmin"))
+    ).select(F.col("_bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return pairs.select("doc_a", "doc_b").unionAll(star).distinct()
 
 
 def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -260,7 +277,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash: bit j of hash(tok) votes ±1; doc bit = majority.
     Token ids come from the fixed string hash over unigram token
     OCCURRENCES (frequency-weighted votes, the classic formulation).
-    Realized as explode(bits) + sum aggregation — engine-portable."""
+
+    Realized as ONE groupBy(doc_id) with `bits` sum-aggregates — all 32
+    bit votes are extracted from each token hash in a single pass
+    (integer div/mod on the same row), so the plan has NO Generate: the
+    pre-aggregation row stream is exactly the token stream, not
+    tokens×32 (the round-2 form exploded 32× before the partial agg —
+    linear but an avoidable 32× CPU blowup)."""
     uni = (
         tokens_df(docs)
         .select("doc_id", F.explode("toks").alias("tok"))
@@ -269,19 +292,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     ids = uni.withColumn(
         "h", (F.col("tok_id") * 2654435761 + 1013904223) % _P
     )
-    bit = ids.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        # portable bit extraction: floor(h / 2^bit) % 2 (POWER is exact
-        # for bit < 53, works identically in Spark SQL and DuckDB)
-        "vote",
-        F.expr("CAST(FLOOR(h / POWER(2, bit)) AS BIGINT) % 2 * 2 - 1"),
+    vote_aggs = [
+        F.sum(F.expr(f"(h div {1 << j}) % 2 * 2 - 1")).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    votes = ids.groupBy("doc_id").agg(*vote_aggs)
+    hash_expr = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
     )
-    votes = bit.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("CASE WHEN v > 0 THEN CAST(POWER(2, bit) AS BIGINT) ELSE 0 END")
-        ).alias("simhash")
-    )
+    return votes.select("doc_id", F.expr(hash_expr).alias("simhash"))

@@ -180,13 +180,19 @@ def _sql_lsh_candidates(bands: int = 4, bucket_cap: int = D.BUCKET_CAP) -> str:
       ),
       sized AS (
         SELECT doc_id, band, band_key,
-               count(*) OVER (PARTITION BY band, band_key) AS bsz
+               count(*) OVER (PARTITION BY band, band_key) AS bsz,
+               min(doc_id) OVER (PARTITION BY band, band_key) AS bmin
         FROM band_key
       )
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sized a JOIN sized b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      WHERE a.bsz <= {bucket_cap}
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        WHERE a.bsz <= {bucket_cap} AND b.bsz <= {bucket_cap}
+        UNION ALL
+        SELECT bmin AS doc_a, doc_id AS doc_b
+        FROM sized WHERE bsz > {bucket_cap} AND doc_id <> bmin
+      )
     """
 
 
