@@ -59,23 +59,67 @@ def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+try:  # real image decode activates automatically in a richer image
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # this container ships no codec libs
+    _PILImage = None
+    _HAS_PIL = False
+
+
+def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None":
+    """PIL branch (import-gated): grayscale float32 pixels in [0, 1),
+    cropped to the stub's 32x32 budget so downstream pooling shapes
+    match. Returns None when the bytes aren't a decodable image."""
+    if not (_HAS_PIL and payload):
+        return None
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    except Exception:
+        return None
+    px = np.asarray(img, dtype=np.float32) / 256.0
+    return px[: min(int(height), 32), : min(int(width), 32)]
+
+
 def _decode_stub(payload: bytes, width: int, height: int, frame_salt: int = 0) -> np.ndarray:
     """STUB decode: deterministic pseudo-pixels from the payload hash.
-    Real implementation: PIL.Image.open(io.BytesIO(payload)) —
-    NotImplemented in this container (no codec libs).
+    Real implementation: PIL.Image.open(io.BytesIO(payload)) — see
+    _decode_pixels, which prefers it when PIL is importable.
 
     The fake is exact integer arithmetic (px = k/65536 with k < 2^17,
     representable bit-exactly in float32 AND double), so the whole
     decode→pool pipeline has a DuckDB oracle: the driver gate checks
     the Arrow-batched Spark path against plain SQL, value-exact."""
-    # payload is the ASCII-hex digest bytes; first 14 hex chars -> 56-bit seed
-    seed = int(payload[:14], 16) if payload else 0
+    # synth_media payloads are ASCII-hex digest bytes (first 14 hex
+    # chars -> 56-bit seed); arbitrary non-hex bytes (a caller feeding
+    # real media) fall back to the raw-byte seed instead of raising
+    # inside the Arrow worker
+    try:
+        seed = int(payload[:14], 16) if payload else 0
+    except ValueError:
+        seed = int.from_bytes(payload[:7], "big")
     seed += frame_salt * 2246822519
     h, w = min(int(height), 32), min(int(width), 32)
     r = np.arange(1, h + 1, dtype=np.int64)[:, None]
     c = np.arange(1, w + 1, dtype=np.int64)[None, :]
     px = ((seed + r * 1315423911 + c * 2654435761) % 65521).astype(np.float64) / 65536.0
     return px.astype(np.float32)
+
+
+def _decode_pixels(payload: bytes, width: int, height: int, frame_salt: int = 0) -> np.ndarray:
+    """Decode dispatch: real PIL decode when the library exists AND the
+    bytes decode as an image; the deterministic stub otherwise (always
+    the case for synth_media's hex-digest payloads, so the oracle gate
+    keeps checking the stub path even in a PIL-equipped image).
+    Video frame extraction (frame_salt > 0) has no PIL path."""
+    if frame_salt == 0:
+        real = _decode_real(payload, width, height)
+        if real is not None:
+            return real
+    return _decode_stub(payload, width, height, frame_salt)
 
 
 def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
@@ -87,7 +131,7 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             feats = []
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                px = _decode_stub(bytes(payload) if payload is not None else b"", int(w), int(h))
+                px = _decode_pixels(bytes(payload) if payload is not None else b"", int(w), int(h))
                 # pooled per-column sums (exact in float32: sum < 2^21/65536),
                 # truncated to dim (decoded width is always >= 16 >= dim)
                 pooled = px.sum(axis=0, dtype=np.float64)[:dim].astype(np.float32)
@@ -115,12 +159,19 @@ def resize_media(media: DataFrame, out: int = 8) -> DataFrame:
     per output cell) — the Arrow batch is the decode/resize unit."""
 
     def op(batches):
+        cells = out * out
+        # batch-constant output-cell index columns (row-major), tiled
+        # per document — the whole output frame is flat-array built, no
+        # per-cell Python objects anywhere in the hot path
+        rr = np.repeat(np.arange(out, dtype=np.int32), out)
+        cc = np.tile(np.arange(out, dtype=np.int32), out)
         for pdf in batches:
-            rows = []
-            for doc_id, payload, w, h in zip(
-                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            n = len(pdf)
+            pooled_all = np.empty((n, cells), dtype=np.float64)
+            for k, (payload, w, h) in enumerate(
+                zip(pdf["payload"], pdf["width"], pdf["height"])
             ):
-                px = _decode_stub(
+                px = _decode_pixels(
                     bytes(payload) if payload is not None else b"", int(w), int(h)
                 )
                 hh, ww = px.shape
@@ -128,17 +179,15 @@ def resize_media(media: DataFrame, out: int = 8) -> DataFrame:
                 ci = (np.arange(ww) * out) // ww
                 pooled = np.zeros((out, out), dtype=np.float64)
                 np.add.at(pooled, (ri[:, None], ci[None, :]), px.astype(np.float64))
-                for i in range(out):
-                    for j in range(out):
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "out_r": i,
-                                "out_c": j,
-                                "pval": np.float32(pooled[i, j]),
-                            }
-                        )
-            yield pd.DataFrame(rows)
+                pooled_all[k] = pooled.reshape(-1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), cells),
+                    "out_r": np.tile(rr, n),
+                    "out_c": np.tile(cc, n),
+                    "pval": pooled_all.reshape(-1).astype(np.float32),
+                }
+            )
 
     return media.mapInPandas(op, RESIZE_SCHEMA)
 
@@ -164,7 +213,7 @@ def sample_frames(media: DataFrame, every: int = 10, dim: int = 8) -> DataFrame:
             for payload, w, h, i in zip(
                 pdf["payload"], pdf["width"], pdf["height"], pdf["frame_idx"]
             ):
-                px = _decode_stub(
+                px = _decode_pixels(
                     bytes(payload) if payload is not None else b"",
                     int(w),
                     int(h),
