@@ -21,7 +21,7 @@ def _sample_grid():
     return Grid(z, xpos=1000.0, ypos=-2000.0, cellsize=30.0, ndv=-9999.0)
 
 
-@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("compress", [False, True, "lzw", "packbits"])
 def test_write_read_roundtrip(tmp_path, compress):
     g = _sample_grid()
     p = str(tmp_path / "t.tif")
@@ -50,17 +50,23 @@ def test_reader_int16_predictor2_bigendian_strips():
         (259, 3, 1, (1,)), (262, 3, 1, (1,)), (277, 3, 1, (1,)),
         (278, 4, 1, (2,)), (317, 3, 1, (2,)), (339, 3, 1, (2,)),
         (273, 4, 2, None), (279, 4, 2, tuple(len(s) for s in strips)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
     ]
     entries.sort(key=lambda e: e[0])
     n = len(entries)
     ifd_off = 8
     overflow_off = ifd_off + 2 + 12 * n + 4
-    fmts = {3: "H", 4: "I"}
+    fmts = {3: "H", 4: "I", 12: "d"}
     overflow = b""
     body = b""
     # strip data goes after overflow; offsets known once overflow sized
-    n_over = sum(1 for _, t, c, _ in entries if struct.calcsize(fmts[t]) * c > 4)
-    data_off = overflow_off + n_over * 8
+    over_bytes = sum(
+        struct.calcsize(fmts[t]) * c
+        for _, t, c, _ in entries
+        if struct.calcsize(fmts[t]) * c > 4
+    )
+    data_off = overflow_off + over_bytes
     offsets = (data_off, data_off + len(strips[0]))
     for tag, typ, cnt, vals in entries:
         if vals is None:
@@ -72,7 +78,7 @@ def test_reader_int16_predictor2_bigendian_strips():
             body += struct.pack(">HHI", tag, typ, cnt) + struct.pack(
                 ">I", overflow_off + len(overflow)
             )
-            overflow += raw.ljust(8, b"\x00")
+            overflow += raw
     buf = (
         struct.pack(">2sHI", b"MM", 42, ifd_off)
         + struct.pack(">H", n)
@@ -84,7 +90,7 @@ def test_reader_int16_predictor2_bigendian_strips():
     )
     r = read_geotiff(buf)
     np.testing.assert_array_equal(r.z, z.astype(np.float64))
-    assert r.cellsize == 1.0  # no georef tags -> defaults
+    assert r.cellsize == 1.0
 
 
 def test_reader_tiled_layout(tmp_path):
@@ -107,13 +113,19 @@ def test_reader_tiled_layout(tmp_path):
         (322, 4, 1, (tw,)), (323, 4, 1, (th,)),
         (324, 4, 4, None), (325, 4, 4, tuple(len(t) for t in tiles)),
         (339, 3, 1, (3,)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
     ]
     entries.sort(key=lambda e: e[0])
     n = len(entries)
     overflow_off = 8 + 2 + 12 * n + 4
-    fmts = {3: "H", 4: "I"}
-    n_over = sum(1 for _, t, c, _ in entries if struct.calcsize(fmts[t]) * c > 4)
-    data_off = overflow_off + n_over * 16
+    fmts = {3: "H", 4: "I", 12: "d"}
+    over_bytes = sum(
+        ((struct.calcsize(fmts[t]) * c + 15) // 16) * 16
+        for _, t, c, _ in entries
+        if struct.calcsize(fmts[t]) * c > 4
+    )
+    data_off = overflow_off + over_bytes
     offs, acc = [], data_off
     for t in tiles:
         offs.append(acc)
@@ -130,7 +142,7 @@ def test_reader_tiled_layout(tmp_path):
             body += struct.pack("<HHI", tag, typ, cnt) + struct.pack(
                 "<I", overflow_off + len(overflow)
             )
-            overflow += raw.ljust(16, b"\x00")
+            overflow += raw.ljust(((len(raw) + 15) // 16) * 16, b"\x00")
     buf = (
         struct.pack("<2sHI", b"II", 42, 8)
         + struct.pack("<H", n)
@@ -145,24 +157,124 @@ def test_reader_tiled_layout(tmp_path):
 
 def test_unsupported_compression_is_loud():
     g = _sample_grid()
-    import io
 
-    # patch compression tag to LZW (5) on a written file
-    buf = bytearray()
+    # patch compression tag to JPEG (7) on a written file
     import tempfile, os
     with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
         write_geotiff(g, f.name)
         buf = bytearray(open(f.name, "rb").read())
         os.unlink(f.name)
-    # find compression entry (tag 259) and overwrite its value with 5
+    # find compression entry (tag 259) and overwrite its value with 7
     (n,) = struct.unpack("<H", buf[8:10])
     for i in range(n):
         e = 10 + 12 * i
         (tag,) = struct.unpack("<H", buf[e : e + 2])
         if tag == 259:
-            buf[e + 8 : e + 10] = struct.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            buf[e + 8 : e + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         read_geotiff(bytes(buf))
+
+
+def test_lzw_known_bitstream():
+    """Hand-computed TIFF-LZW vector: codes (CLEAR, 'A', 258, 'A', EOI)
+    MSB-packed — pins the bit order, the post-clear init, and the
+    KwKwK (code == table size) case against the spec, independent of
+    our encoder."""
+    from tin_terrain_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+    vec = bytes([0x80, 0x10, 0x60, 0x44, 0x18, 0x08])
+    assert _lzw_decode(vec) == b"AAAA"
+    assert _lzw_encode(b"AAAA") == vec
+
+
+def test_lzw_packbits_roundtrip_random():
+    from tin_terrain_spark.sources.geotiff import (
+        _lzw_decode, _lzw_encode, _packbits_decode, _packbits_encode)
+
+    rng = np.random.RandomState(5)
+    for n in (0, 1, 7, 300, 5000, 70000):
+        # mixed entropy: runs + noise (exercises table growth + clears)
+        data = bytes(rng.choice([0, 0, 0, 1, 2, 255], size=n).astype(np.uint8))
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert _packbits_decode(_packbits_encode(data)) == data
+
+
+def test_crs_validation(tmp_path):
+    from tin_terrain_spark.sources.geotiff import WEB_MERCATOR_EPSG
+
+    g = _sample_grid()
+    ok = str(tmp_path / "merc.tif")
+    write_geotiff(g, ok, epsg=3857)
+    r = read_geotiff(open(ok, "rb").read(), validate_projection=True)
+    assert r.z.shape == g.z.shape
+
+    wrong = str(tmp_path / "wgs84.tif")
+    write_geotiff(g, wrong, epsg=4326)
+    with pytest.raises(ValueError, match="EPSG:3857"):
+        read_geotiff(open(wrong, "rb").read(), validate_projection=True)
+
+    nokey = str(tmp_path / "nokey.tif")
+    write_geotiff(g, nokey)
+    with pytest.raises(ValueError, match="no projected CRS"):
+        read_geotiff(open(nokey, "rb").read(), validate_projection=True)
+    # without validation the same file loads (reference default)
+    assert read_geotiff(open(nokey, "rb").read()).z.shape == g.z.shape
+    assert 3857 in WEB_MERCATOR_EPSG
+
+
+def _strip_tags(path, drop):
+    """Neutralize IFD entries in place (type 0 is skipped by the
+    reader) so every other file offset stays valid."""
+    buf = bytearray(open(path, "rb").read())
+    (n,) = struct.unpack("<H", buf[8:10])
+    for i in range(n):
+        e = 10 + 12 * i
+        (tag,) = struct.unpack("<H", buf[e : e + 2])
+        if tag in drop:
+            buf[e + 2 : e + 4] = struct.pack("<H", 0)
+    return bytes(buf)
+
+
+def test_missing_georef_is_loud(tmp_path):
+    """A raster with neither pixel-scale+tiepoint nor a transformation
+    matrix must raise — not silently default to a unit georef."""
+    p = str(tmp_path / "t.tif")
+    write_geotiff(_sample_grid(), p)
+    stripped = _strip_tags(p, {33550, 33922})
+    with pytest.raises(NotImplementedError, match="georeferencing"):
+        read_geotiff(stripped)
+
+
+def test_model_transformation_georef(tmp_path):
+    """Axis-aligned ModelTransformation (tag 34264) georef is honored:
+    one neutralized slot is rewritten as the transformation entry, with
+    the 16-double matrix appended at the end of the file."""
+    g = _sample_grid()
+    p = str(tmp_path / "t.tif")
+    write_geotiff(g, p)
+    buf = bytearray(_strip_tags(p, {33550, 33922}))
+    mat_off = len(buf)
+    sx, sy = g.cellsize, -g.cellsize
+    ox, oy = g.xpos, g.ypos + g.z.shape[0] * g.cellsize
+    mat = struct.pack("<16d", sx, 0, 0, ox, 0, sy, 0, oy, 0, 0, 0, 0, 0, 0, 0, 1)
+    (n,) = struct.unpack("<H", buf[8:10])
+    slot = None
+    for i in range(n):
+        e = 10 + 12 * i
+        tag, typ = struct.unpack("<HH", buf[e : e + 4])
+        if typ == 0:
+            slot = e
+            break
+    assert slot is not None
+    buf[slot : slot + 12] = struct.pack("<HHI", 34264, 12, 16) + struct.pack("<I", mat_off)
+    out = bytes(buf) + mat
+    r = read_geotiff(out)
+    assert r.xpos == g.xpos and abs(r.cellsize - g.cellsize) < 1e-12
+    # rotation terms must be rejected
+    mat_rot = struct.pack("<16d", sx, 0.1, 0, ox, 0.1, sy, 0, oy, 0, 0, 0, 0, 0, 0, 0, 1)
+    out2 = out[:mat_off] + mat_rot
+    with pytest.raises(NotImplementedError, match="Model[Tt]ransformation"):
+        read_geotiff(out2)
 
 
 def test_spark_raster_to_tin(tmp_path):

@@ -3,10 +3,12 @@ GDAL.
 
 A pure-NumPy reader for the GeoTIFF subset that DEM rasters actually
 use — classic TIFF (little/big endian), single band, strip or tile
-organization, compression none/deflate, horizontal predictor,
-uint/int/float samples, ModelPixelScale + ModelTiepoint georef and the
-GDAL_NODATA ascii tag — plus a minimal float32 writer (test fixtures /
-export).
+organization, compression none/deflate/LZW/PackBits, horizontal
+predictor, uint/int/float samples, ModelPixelScale + ModelTiepoint or
+axis-aligned ModelTransformation georef (files with NO georef raise),
+optional EPSG:3857 GeoKey validation matching the reference's
+load_raster_file(validate=true), and the GDAL_NODATA ascii tag — plus
+a minimal float32 writer (test fixtures / export).
 
 Load semantics mirror /root/reference/src/RasterIO.cpp:347-441:
 band 1 only, cellsize = |scale_x|, pos = lower-left corner
@@ -60,7 +62,153 @@ _TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
+_TAG_MODEL_TRANSFORMATION = 34264
+_TAG_GEOKEY_DIRECTORY = 34735
 _TAG_GDAL_NODATA = 42113
+
+# GeoKey ids (GeoTIFF spec §6.2)
+_GEOKEY_MODEL_TYPE = 1024
+_GEOKEY_PROJECTED_CS = 3072
+WEB_MERCATOR_EPSG = (3857, 3785, 900913)  # canonical + legacy aliases
+
+
+def _lzw_decode(raw: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first code packing, ClearCode 256,
+    EndOfInformation 257, 'early change' code-width bumps at table
+    sizes 511/1023/2047). Pure Python — ingest-path only; strips/tiles
+    decode independently so file-level parallelism covers the cost."""
+    out = bytearray()
+    table: list[bytes] = []
+    bitlen = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, bitlen, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        bitlen = 9
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    for byte in raw:
+        acc = ((acc << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= bitlen:
+            code = (acc >> (nbits - bitlen)) & ((1 << bitlen) - 1)
+            nbits -= bitlen
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} > table size")
+            out += entry
+            prev = entry
+            if len(table) == (1 << bitlen) - 1 and bitlen < 12:
+                bitlen += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture/writer twin of _lzw_decode)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, bitlen: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << bitlen) | code
+        nbits += bitlen
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bitlen = 9
+    put(256, bitlen)  # leading ClearCode (what libtiff emits)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], bitlen)
+        table[wc] = next_code
+        next_code += 1
+        # early-change sync: the decoder's table is one entry BEHIND
+        # the encoder's (it adds on the NEXT read), and it bumps at
+        # table size (1<<bits)-1 — which corresponds to encoder
+        # next_code == 1<<bits
+        if next_code == (1 << bitlen) and bitlen < 12:
+            bitlen += 1
+        elif next_code >= 4094:
+            put(256, bitlen)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bitlen = 9
+        w = bytes([b])
+    if w:
+        put(table[w], bitlen)
+    put(257, bitlen)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(raw: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        h = raw[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += raw[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += raw[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal valid PackBits encoder (literal-preferring, run-aware)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j + 1] == data[j])
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
 
 
 def _read_ifd(buf: bytes, bo: str):
@@ -102,9 +250,13 @@ def _decode_block(raw: bytes, compression: int, dtype: np.dtype,
                   rows: int, cols: int, predictor: int) -> np.ndarray:
     if compression in (8, 32946):  # deflate (zlib)
         raw = zlib.decompress(raw)
+    elif compression == 5:  # LZW — the most common DEM-archive codec
+        raw = _lzw_decode(raw)
+    elif compression == 32773:  # PackBits RLE
+        raw = _packbits_decode(raw)
     elif compression != 1:
         raise NotImplementedError(f"TIFF compression {compression} not supported "
-                                  "(supported: none, deflate)")
+                                  "(supported: none, deflate, LZW, PackBits)")
     a = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
     if predictor == 2:
         a = np.cumsum(a.astype(np.int64), axis=1).astype(dtype)
@@ -113,8 +265,14 @@ def _decode_block(raw: bytes, compression: int, dtype: np.dtype,
     return a
 
 
-def read_geotiff(data: bytes) -> Grid:
-    """Parse GeoTIFF bytes → Grid (reference load semantics)."""
+def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
+    """Parse GeoTIFF bytes → Grid (reference load semantics).
+
+    validate_projection=True mirrors load_raster_file(validate=true)
+    (RasterIO.cpp:274-332 + 371-378): the GeoKey directory must declare
+    a projected CRS equal to EPSG:3857 (legacy web-mercator aliases
+    accepted, as GDAL's AutoIdentifyEPSG would); anything else raises
+    with the reference's gdalwarp reprojection hint."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -161,12 +319,46 @@ def read_geotiff(data: bytes) -> Grid:
             block = _decode_block(data[o : o + c], compression, dtype, rows, w, predictor)
             z[r0 : r0 + rows] = block.astype(np.float64)
 
-    # georef (RasterIO.cpp:421-441 semantics)
-    ps = tags.get(_TAG_MODEL_PIXEL_SCALE, (1.0, 1.0, 0.0))
-    tp = tags.get(_TAG_MODEL_TIEPOINT, (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-    scale_x, scale_y = float(ps[0]), -float(ps[1])
-    origin_x = float(tp[3]) - float(tp[0]) * scale_x
-    origin_y = float(tp[4]) - float(tp[1]) * scale_y
+    if validate_projection:
+        gk = tags.get(_TAG_GEOKEY_DIRECTORY)
+        epsg = None
+        if gk is not None:
+            # GeoKey directory: 4-short header, then (key, loc, cnt,
+            # value) quads; inline values have loc == 0
+            for j in range(4, len(gk) - 3, 4):
+                if int(gk[j]) == _GEOKEY_PROJECTED_CS and int(gk[j + 1]) == 0:
+                    epsg = int(gk[j + 3])
+        if epsg not in WEB_MERCATOR_EPSG:
+            raise ValueError(
+                f"input raster must be in EPSG:3857 (Web Mercator); GeoKey "
+                f"directory declares {epsg if epsg is not None else 'no projected CRS'}. "
+                "Reproject with: gdalwarp -t_srs EPSG:3857 input.tif output.tif"
+            )
+
+    # georef (RasterIO.cpp:421-441 semantics): ModelPixelScale +
+    # ModelTiepoint, or an axis-aligned ModelTransformation matrix.
+    # A file with NEITHER is not silently given a unit georef — that
+    # would mesh it in the wrong coordinate system without any error.
+    if _TAG_MODEL_PIXEL_SCALE in tags and _TAG_MODEL_TIEPOINT in tags:
+        ps = tags[_TAG_MODEL_PIXEL_SCALE]
+        tp = tags[_TAG_MODEL_TIEPOINT]
+        scale_x, scale_y = float(ps[0]), -float(ps[1])
+        origin_x = float(tp[3]) - float(tp[0]) * scale_x
+        origin_y = float(tp[4]) - float(tp[1]) * scale_y
+    elif _TAG_MODEL_TRANSFORMATION in tags:
+        m = tags[_TAG_MODEL_TRANSFORMATION]
+        if len(m) < 8 or float(m[1]) != 0.0 or float(m[4]) != 0.0:
+            raise NotImplementedError(
+                "rotational/shear ModelTransformation not supported "
+                "(reproject with gdalwarp first)"
+            )
+        scale_x, scale_y = float(m[0]), float(m[5])
+        origin_x, origin_y = float(m[3]), float(m[7])
+    else:
+        raise NotImplementedError(
+            "GeoTIFF provides no georeferencing (need ModelPixelScale + "
+            "ModelTiepoint, or an axis-aligned ModelTransformation)"
+        )
     x2 = origin_x + w * scale_x
     y2 = origin_y + h * scale_y
     if scale_x < 0:
@@ -188,14 +380,26 @@ def read_geotiff(data: bytes) -> Grid:
     )
 
 
-def write_geotiff(grid: Grid, path: str, compress: bool = False) -> None:
+def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
+                  epsg: int | None = None) -> None:
     """Minimal single-band float32 GeoTIFF writer (classic, little-
-    endian, one strip per raster, optional deflate) — enough for test
-    fixtures and for exporting Grids to GDAL-readable files."""
+    endian, one strip per raster; compress: False | True/'deflate' |
+    'lzw' | 'packbits'; optional GeoKey CRS declaration) — enough for
+    test fixtures and for exporting Grids to GDAL-readable files."""
     h, w = grid.z.shape
     payload = np.ascontiguousarray(grid.z, dtype="<f4").tobytes()
-    if compress:
+    comp_tag = 1
+    if compress is True or compress == "deflate":
         payload = zlib.compress(payload)
+        comp_tag = 8
+    elif compress == "lzw":
+        payload = _lzw_encode(payload)
+        comp_tag = 5
+    elif compress == "packbits":
+        payload = _packbits_encode(payload)
+        comp_tag = 32773
+    elif compress:
+        raise ValueError(f"unknown compress={compress!r}")
 
     entries = []  # (tag, type, count, packed-value-or-bytes)
 
@@ -206,7 +410,7 @@ def write_geotiff(grid: Grid, path: str, compress: bool = False) -> None:
     entry(_TAG_WIDTH, 4, 1, (w,))
     entry(_TAG_HEIGHT, 4, 1, (h,))
     entry(_TAG_BITS, 3, 1, (32,))
-    entry(_TAG_COMPRESSION, 3, 1, (8 if compress else 1,))
+    entry(_TAG_COMPRESSION, 3, 1, (comp_tag,))
     entry(262, 3, 1, (1,))  # photometric: BlackIsZero
     entry(_TAG_STRIP_OFFSETS, 4, 1, None)  # patched below
     entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, (1,))
@@ -217,6 +421,12 @@ def write_geotiff(grid: Grid, path: str, compress: bool = False) -> None:
     # tiepoint: raster (0,0) ↔ world top-left corner
     entry(_TAG_MODEL_TIEPOINT, 12, 6,
           (0.0, 0.0, 0.0, grid.xpos, grid.ypos + h * grid.cellsize, 0.0))
+    if epsg is not None:
+        # GeoKey directory v1.1.0: ModelType=Projected(1), ProjectedCS=epsg
+        entry(_TAG_GEOKEY_DIRECTORY, 3, 12,
+              (1, 1, 0, 2,
+               _GEOKEY_MODEL_TYPE, 0, 1, 1,
+               _GEOKEY_PROJECTED_CS, 0, 1, epsg))
     entry(_TAG_GDAL_NODATA, 2, len(ndv_s), ndv_s)
 
     header = struct.pack("<2sHI", b"II", 42, 8)
