@@ -50,6 +50,10 @@ def main() -> None:
         + X * 30
     )
     t_s, (v_s, f_s) = best_of(lambda: generate_tin_terra(Grid(smooth.copy()), 2.0))
+    t_s_py, (v_s_py, _) = best_of(
+        lambda: generate_tin_terra(Grid(smooth.copy()), 2.0, use_native=False), 1
+    )
+    assert len(v_s_py) == len(v_s)
 
     m = 68
     rng = np.random.RandomState(7)
@@ -75,6 +79,13 @@ def main() -> None:
                     "insert_frac": round(len(v_n) / (m * m), 4),
                 },
                 "zemlya_noise_68": {"sec": round(t_z, 4), "verts": len(v_z)},
+                "terra_smooth_512_python_fallback": {
+                    "sec": round(t_s_py, 3),
+                    "cells_per_sec": round(n * n / t_s_py),
+                },
+                "native_kernel": __import__(
+                    "tin_terrain_spark.kernels.native", fromlist=["native_available"]
+                ).native_available(),
                 "reference_terra_cells_per_sec_per_core": 1030000,
             }
         )

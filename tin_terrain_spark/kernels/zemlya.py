@@ -285,8 +285,16 @@ class ZemlyaMesh(DelaunayMesh):
         return verts, faces_arr
 
 
-def generate_tin_zemlya(grid: Grid, max_error: float):
-    """Facade mirroring generate_tin_zemlya (src/zemlya_meshing.cpp)."""
+def generate_tin_zemlya(grid: Grid, max_error: float, use_native: bool = True):
+    """Facade mirroring generate_tin_zemlya (src/zemlya_meshing.cpp).
+    Dispatches to the compiled fast path (kernels/native.py) when
+    available — bit-identical outputs, pure-Python fallback."""
+    if use_native:
+        from . import native
+
+        out = native.zemlya_native(grid, max_error)
+        if out is not None:
+            return out
     zm = ZemlyaMesh(grid)
     zm.greedy_insert(max_error)
     return zm.to_mesh()
