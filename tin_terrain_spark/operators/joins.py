@@ -323,14 +323,44 @@ def pip_convex_join(points: DataFrame, poly_edges: DataFrame) -> DataFrame:
     )
 
 
+def _hex_ring_cells(remaining: DataFrame, ring: int) -> DataFrame:
+    """Enumerate the hex BALL of radius `ring` around each query cell
+    as rows — 3R(R+1)+1 cells per query (the axial-coordinate identity:
+    hexdist <= R  ⟺  dq in [-R,R], dr in [max(-R,-dq-R), min(R,-dq+R)]).
+    Turns the ring lookup into a broadcast HASH equi-join on (hex_q,
+    hex_r) — at 10^12 points every point row probes a hash table once,
+    instead of evaluating a hex-distance predicate against every query
+    (BroadcastNestedLoopJoin, the plan the theta-join form compiles
+    to)."""
+    r = F.lit(ring)
+    return (
+        remaining.withColumn("dq", F.explode(F.sequence(-r, r)))
+        .withColumn(
+            "dr",
+            F.explode(
+                F.sequence(
+                    F.greatest(-r, -F.col("dq") - r),
+                    F.least(r, -F.col("dq") + r),
+                )
+            ),
+        )
+        .select(
+            "q_id", "qx", "qy", "qhq", "qhr",
+            (F.col("qhq") + F.col("dq")).alias("hex_q"),
+            (F.col("qhr") + F.col("dr")).alias("hex_r"),
+        )
+    )
+
+
 def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
             k: int = 5, initial_ring: int = 2,
             repartition_to: int | None = None,
             max_ring_rounds: int = 3) -> DataFrame:
     """J6 over the H3-style hex index (charter: "kNN lookups over H3
     ring expansion"): identical iterative structure to knn_ring, but
-    candidate rings are hexagonal — hex_distance(cell, query_cell) <=
-    R — and the resolution guarantee uses the hex staircase geometry
+    candidate rings are hexagonal — the ring ball is exploded to cell
+    rows and equi-joined on (hex_q, hex_r) — and the resolution
+    guarantee uses the hex staircase geometry
     (hexgrid.hex_ring_guarantee_m). Cells are computed on the fly from
     the meter coordinates with pure Column expressions (no UDF, no
     native lib). Exactness: results are hash-equal to knn_brute (the
@@ -352,10 +382,9 @@ def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
     ring = initial_ring
     round_caches: list[DataFrame] = []
     for _ in range(max_ring_rounds):
-        hd = HG.hex_dist_cols(
-            F.col("hex_q") - F.col("qhq"), F.col("hex_r") - F.col("qhr")
-        )
-        cand = pts.join(F.broadcast(remaining), hd <= ring, "inner").withColumn(
+        cand = pts.join(
+            F.broadcast(_hex_ring_cells(remaining, ring)), ["hex_q", "hex_r"], "inner"
+        ).withColumn(
             "dist2",
             (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
             + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
