@@ -73,17 +73,21 @@ def bench_queries():
     }
 
 
-def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: int = 6):
+def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: int = 6,
+                knn_zoom: int | None = None, knn_grid_bits: int | None = None):
     """The N-vs-4N scaling workload: compute-bound, fixed input.
 
     Replicates the documents table `mult`x with fresh page ids (the
     hash streams geocode every replica to a distinct location), then
-    runs the flagship pipeline at zoom 6 (4096 tiles) plus the heavy
-    relational operators. At sf0.1 x64 this is ~3.2M points and ~4k
-    Python mesh kernels — enough work per stage that wall-clock tracks
-    cores, as it would on a real cluster, instead of per-job constants.
+    runs the flagship mesh pyramid at `zoom` plus the heavy relational
+    operators (cell-ring kNN + cell aggregation). `knn_zoom`/
+    `knn_grid_bits` let the kNN/agg phases run on a coarser cell
+    geometry than the mesh phase — the mesh phase is sized by tile
+    count (per-tile kernel+encode work), while kNN ring expansion wants
+    cells sized to the k-th-neighbor distance; coupling them would make
+    one phase pathological whenever the other is resized.
 
-    Returns (tiles, knn_rows, seconds_by_phase).
+    Returns (tiles, knn_rows, agg_rows, seconds_by_phase).
     """
     import time as _time
 
@@ -93,6 +97,9 @@ def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: i
     from tin_terrain_spark.operators.joins import knn_ring
     from tin_terrain_spark.operators.meshing import mesh_tiles
 
+    kz = zoom if knn_zoom is None else knn_zoom
+    kb = grid_bits if knn_grid_bits is None else knn_grid_bits
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     big = (
         docs.crossJoin(spark.range(mult).withColumnRenamed("id", "replica"))
@@ -100,7 +107,7 @@ def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: i
         # the small parquet reads as ONE partition; without this every
         # map side downstream runs single-threaded
         .repartition(spark.sparkContext.defaultParallelism * 2)
-    )
+    ).persist()
     pts = geocode_points(big, zoom=zoom, grid_bits=grid_bits).persist()
     pts.count()  # materialize once; all three phases reuse it
 
@@ -112,19 +119,24 @@ def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: i
     phases["mesh_terra"] = round(_time.time() - t0, 3)
 
     t0 = _time.time()
-    queries = pts.filter(F.col("doc_id") < 64).select(
+    if (kz, kb) == (zoom, grid_bits):
+        kpts = pts
+    else:
+        kpts = geocode_points(big, zoom=kz, grid_bits=kb).persist()
+        kpts.count()
+    queries = kpts.filter(F.col("doc_id") < 64).select(
         F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
     )
     # the scale-path kNN (cell-ring join), not the brute window sort
     # auto ring sizing from density; guarantee check + exact fallback
     knn_rows = knn_ring(
-        pts.filter(F.col("doc_id") >= 64), queries, zoom, grid_bits, k=10
+        kpts.filter(F.col("doc_id") >= 64), queries, kz, kb, k=10
     ).count()
     phases["knn"] = round(_time.time() - t0, 3)
 
     t0 = _time.time()
     agg_rows = (
-        pts.groupBy("cell_x", "cell_y")
+        kpts.groupBy("cell_x", "cell_y")
         .agg(F.sum("z").alias("s"), F.count(F.lit(1)).alias("c"))
         .count()
     )

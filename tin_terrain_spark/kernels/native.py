@@ -40,15 +40,31 @@ _lib = None
 _tried = False
 
 
+def _read_source() -> bytes | None:
+    """Read tinmesh.c — from the filesystem when the package is a plain
+    directory, via pkgutil when it's imported from a --py-files zip
+    (executors on a real cluster load the package from a zip archive;
+    open() on a path inside a zip raises OSError)."""
+    try:
+        with open(_SRC, "rb") as f:
+            return f.read()
+    except OSError:
+        pass
+    try:
+        import pkgutil
+
+        return pkgutil.get_data("tin_terrain_spark.kernels", "_native/tinmesh.c")
+    except Exception:
+        return None
+
+
 def _build_and_load():
     """Compile (cached by source hash) and load the shared library.
     Returns a ctypes CDLL or None."""
     if os.environ.get("TTS_NO_NATIVE"):
         return None
-    try:
-        with open(_SRC, "rb") as f:
-            src_bytes = f.read()
-    except OSError:
+    src_bytes = _read_source()
+    if src_bytes is None:
         return None
     tag = hashlib.md5(src_bytes).hexdigest()[:16]
     cache_dir = os.path.join(tempfile.gettempdir(), f"tts_native_{os.getuid()}")
@@ -56,11 +72,19 @@ def _build_and_load():
     if not os.path.exists(so_path):
         try:
             os.makedirs(cache_dir, exist_ok=True)
+            # materialize the source beside the cache so the compiler can
+            # read it even when the package lives inside a zip
+            src_path = os.path.join(cache_dir, f"tinmesh_{tag}.c")
+            if not os.path.exists(src_path):
+                stmp = src_path + f".tmp{os.getpid()}"
+                with open(stmp, "wb") as f:
+                    f.write(src_bytes)
+                os.replace(stmp, src_path)
             for cc in ("cc", "gcc", "clang"):
                 tmp = so_path + f".tmp{os.getpid()}"
                 try:
                     r = subprocess.run(
-                        [cc, *_CFLAGS, "-o", tmp, _SRC, "-lm"],
+                        [cc, *_CFLAGS, "-o", tmp, src_path, "-lm"],
                         capture_output=True, timeout=120,
                     )
                 except (OSError, subprocess.TimeoutExpired):
