@@ -77,3 +77,30 @@ def test_ecef_known_point():
     assert abs(x - 6378137.0) < 1e-6
     assert abs(y) < 1e-6
     assert abs(z) < 1e-6
+
+
+def test_row_unique3_matches_np_unique():
+    rng = np.random.RandomState(11)
+    for n, dup in ((1, 1), (7, 3), (500, 60), (3100, 900)):
+        base = rng.rand(max(dup, 1), 3)
+        a = base[rng.randint(0, len(base), n)]
+        # exercise -0.0 == 0.0 numeric semantics too
+        a[rng.rand(n) < 0.1] = 0.0
+        a[rng.rand(n) < 0.05] = -0.0
+        u1, i1, inv1 = np.unique(a, axis=0, return_index=True, return_inverse=True)
+        u2, i2, inv2 = C._row_unique3(a)
+        assert np.array_equal(u1, u2)
+        assert np.array_equal(i1, i2)
+        assert np.array_equal(np.asarray(inv1).ravel(), inv2)
+
+
+def test_watermark_first_seen_fast_path_matches_loop():
+    rng = np.random.RandomState(5)
+    for n in (0, 1, 9, 3000):
+        soup = rng.rand(max(n // 3, 1), 3, 3)[: max(n // 3, 0)]
+        stream = C._first_seen_vertex_order(soup.reshape(-1, 3))[1] if len(soup) else np.zeros(0, dtype=np.int64)
+        fast = C._watermark_encode_first_seen(np.asarray(stream, dtype=np.int64))
+        slow = C.high_watermark_encode(stream)
+        assert np.array_equal(fast, slow)
+        # and the roundtrip still holds
+        assert np.array_equal(C.high_watermark_decode(fast), stream)

@@ -70,7 +70,8 @@ def dequantize_coordinate(q, vmin, vmax):
 
 def high_watermark_encode(indices: np.ndarray) -> np.ndarray:
     """Flat triangle-index stream → watermark deltas
-    (QuantizedMeshIO.cpp:199-220). Sequential by construction."""
+    (QuantizedMeshIO.cpp:199-220). Sequential reference loop; kept as
+    the oracle for the vectorized first-seen fast path below."""
     out = np.empty(len(indices), dtype=np.int64)
     watermark = 0
     for n, index in enumerate(indices):
@@ -78,6 +79,23 @@ def high_watermark_encode(indices: np.ndarray) -> np.ndarray:
         if index == watermark:
             watermark += 1
     return out
+
+
+def _watermark_encode_first_seen(indices: np.ndarray) -> np.ndarray:
+    """high_watermark_encode for a FIRST-SEEN index stream (the output
+    of _first_seen_vertex_order): value v first appears only after all
+    of 0..v-1 have appeared, so the running watermark before position n
+    is exactly max(indices[:n]) + 1 (0 for n=0) — one vectorized
+    maximum.accumulate instead of a Python loop. Asserted equal to the
+    loop in tests."""
+    n = len(indices)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    wm = np.empty(n, dtype=np.int64)
+    wm[0] = 0
+    np.maximum.accumulate(indices[:-1], out=wm[1:])
+    wm[1:] += 1
+    return wm - indices
 
 
 def high_watermark_decode(deltas: np.ndarray) -> np.ndarray:
@@ -105,16 +123,32 @@ def mercator_to_ecef(x, y, z):
     return ex, ey, ez
 
 
+def _row_unique3(a: np.ndarray):
+    """`np.unique(a, axis=0, return_index=True, return_inverse=True)`
+    for an (n, 3) float array of FINITE values, via one lexsort instead
+    of numpy's structured-dtype sort (~3x faster at mesh-tile sizes;
+    asserted equal to np.unique in tests). return_index is the first
+    occurrence in `a`, as np.unique guarantees."""
+    order = np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+    s = a[order]
+    neq = np.empty(len(a), dtype=bool)
+    neq[0] = True
+    np.any(s[1:] != s[:-1], axis=1, out=neq[1:])
+    group = np.cumsum(neq) - 1
+    first = np.minimum.reduceat(order, np.nonzero(neq)[0])
+    inverse = np.empty(len(a), dtype=np.intp)
+    inverse[order] = group
+    return s[neq], first, inverse
+
+
 def _first_seen_vertex_order(tri_xyz: np.ndarray):
     """Dedup soup vertices in first-seen triangle-stream order
     (VertexOrdering fill loop, QuantizedMeshIO.cpp:388-404).
 
     tri_xyz: (n_tri*3, 3) float64 — vertices in triangle-stream order.
     Returns (unique_xyz (m,3), stream_index (n_tri*3,) into unique)."""
-    # np.unique sorts; rebuild first-seen order from the inverse mapping.
-    _, first_pos, inverse = np.unique(
-        tri_xyz, axis=0, return_index=True, return_inverse=True
-    )
+    # sorted-unique, then rebuild first-seen order from the inverse map
+    _, first_pos, inverse = _row_unique3(tri_xyz)
     # rank unique rows by first occurrence in the stream
     order = np.argsort(first_pos, kind="stable")
     rank = np.empty_like(order)
@@ -149,14 +183,21 @@ def encode_qm_tile(
     bbox_min: tuple,
     bbox_max: tuple,
     mesh_is_rescaled: bool = False,
+    vertex_order: tuple | None = None,
 ) -> bytes:
     """Encode a triangle soup into a quantized-mesh-1.0 blob.
 
     triangles: (n_tri, 3, 3) float64 — mirrors write_mesh_as_qm
     (QuantizedMeshIO.cpp:320-507). bbox is the tile-space BBox3D.
+    vertex_order: optional precomputed _first_seen_vertex_order(
+    triangles.reshape(-1, 3)) — callers that already dedup the soup
+    (the mesh-tile kernel needs n_vertices anyway) pass it to avoid a
+    second row-unique.
     """
     tri_stream = triangles.reshape(-1, 3).astype(np.float64)
-    if len(tri_stream):
+    if vertex_order is not None:
+        verts, stream_idx = vertex_order
+    elif len(tri_stream):
         verts, stream_idx = _first_seen_vertex_order(tri_stream)
     else:
         verts = np.zeros((0, 3), dtype=np.float64)
@@ -208,7 +249,7 @@ def encode_qm_tile(
     ntriangles = len(triangles)
     buf += struct.pack("<I", ntriangles)
     if ntriangles:
-        wm = high_watermark_encode(stream_idx)
+        wm = _watermark_encode_first_seen(np.asarray(stream_idx, dtype=np.int64))
         buf += wm.astype(idx_dtype).tobytes()
 
     # edge-vertex lists, order west/south/east/north (QuantizedMeshIO.cpp:496-501)

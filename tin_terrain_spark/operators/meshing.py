@@ -11,9 +11,12 @@ Pipeline (reference dem2tintiles, SURVEY.md §3.1), Spark-first:
     → groupBy(tile, row, col).agg(sum(z), count)   ← map-side combine
       collapses 10^12 points to ≤ (grid_n+2b)² rows per tile BEFORE the
       heavy shuffle (this is the scale-critical step)
-    → groupBy(tile).applyInPandas(mesh_tile_kernel) — assemble the dense
-      grid, run Terra/Zemlya/dense greedy meshing, normalize to the unit
-      tile, clip to [0,1]² (TileMaker.cpp:45-124), encode quantized-mesh
+    → repartition(tile) → sortWithinPartitions(tile) → streaming
+      mapInPandas(mesh_tile_kernel) — walk contiguous tile runs per
+      Arrow batch (one Python round per ~hundreds of tiles, not one
+      pandas group per tile), assemble the dense grid, run
+      Terra/Zemlya/dense greedy meshing, normalize to the unit tile,
+      clip to [0,1]² (TileMaker.cpp:45-124), encode quantized-mesh
     → tiles(zoom, tile_x, tile_y, n_points, n_vertices, n_faces,
             max_err, terrain:binary)
 
@@ -131,18 +134,21 @@ def cell_grid(
     )
 
 
-def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
-                      max_error: float, step: int, compute_error: bool,
-                      encode_terrain: bool):
-    """Build the applyInPandas kernel (runs on executors; imports stay
-    inside so the function pickles cleanly)."""
+def _make_tile_fn(zoom: int, grid_bits: int, buffer_cells: int, method: str,
+                  max_error: float, step: int, compute_error: bool,
+                  encode_terrain: bool):
+    """Build the per-tile kernel as a plain-arrays → dict function
+    (runs on executors; imports stay inside so the function pickles
+    cleanly). Both the applyInPandas compat wrapper and the streaming
+    mapInPandas path call this."""
     g = 1 << grid_bits
     b = buffer_cells
     tile_m = GX.tile_size_meters(zoom)
     cellsize = tile_m / g
     hc = GX.HALF_CIRCUMFERENCE
 
-    def mesh_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    def mesh_tile(tile_x: int, tile_y: int, rows: np.ndarray, cols: np.ndarray,
+                  z_sum: np.ndarray, z_cnt: np.ndarray) -> dict:
         from tin_terrain_spark.kernels.codec import encode_qm_tile
         from tin_terrain_spark.kernels.dense import generate_tin_dense_quadwalk
         from tin_terrain_spark.kernels.geometry import clip_triangles_to_01_quadrant
@@ -151,16 +157,12 @@ def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
         from tin_terrain_spark.kernels.terra import generate_tin_terra
         from tin_terrain_spark.kernels.zemlya import generate_tin_zemlya
 
-        tile_x = int(pdf["tile_x"].iloc[0])
-        tile_y = int(pdf["tile_y"].iloc[0])
         size = g + 2 * b
         z = np.full((size, size), np.nan)
-        rows = pdf["row_b"].to_numpy()
-        cols = pdf["col_b"].to_numpy()
-        z[rows, cols] = pdf["z_sum"].to_numpy() / pdf["z_cnt"].to_numpy()
-        n_points = int(pdf.loc[(pdf["row_b"] >= b) & (pdf["row_b"] < g + b)
-                               & (pdf["col_b"] >= b) & (pdf["col_b"] < g + b), "z_cnt"].sum())
-        n_cells = int(len(pdf))
+        z[rows, cols] = z_sum / z_cnt
+        interior = (rows >= b) & (rows < g + b) & (cols >= b) & (cols < g + b)
+        n_points = int(z_cnt[interior].sum())
+        n_cells = int(len(rows))
 
         # tile bounds in meters (PixelsToMeters, MercatorProjection.cpp:30-37)
         res = 2.0 * hc / 256.0 / (1 << zoom)
@@ -255,39 +257,115 @@ def _make_mesh_kernel(zoom: int, grid_bits: int, buffer_cells: int, method: str,
             unit[:, :, 2] = (unit[:, :, 2] - zmin) * inv_z
             clipped = clip_triangles_to_01_quadrant(unit)
             n_faces = len(clipped)
-            uniq = (
-                np.unique(clipped.reshape(-1, 3), axis=0) if n_faces else np.zeros((0, 3))
-            )
-            n_vertices = len(uniq)
+            if n_faces:
+                from tin_terrain_spark.kernels.codec import _first_seen_vertex_order
+
+                vorder = _first_seen_vertex_order(clipped.reshape(-1, 3))
+            else:
+                vorder = (np.zeros((0, 3)), np.zeros(0, dtype=np.int64))
+            n_vertices = len(vorder[0])
             terrain = encode_qm_tile(
                 clipped,
                 (tile_min_x, tile_min_y, zmin),
                 (tile_min_x + tile_m, tile_min_y + tile_m, zmax),
                 mesh_is_rescaled=True,
+                vertex_order=vorder,
             )
 
-        return pd.DataFrame(
-            [
-                {
-                    "zoom": zoom,
-                    "tile_x": tile_x,
-                    "tile_y": tile_y,
-                    "n_points": n_points,
-                    "n_cells": n_cells,
-                    "n_vertices": int(n_vertices),
-                    "n_faces": int(n_faces),
-                    "max_err": max_err,
-                    "min_z": min_z,
-                    "max_z": max_z,
-                    "terrain": terrain,
-                    "euler_ok": euler_ok,
-                    "verts_on_grid_ok": verts_on_grid_ok,
-                    "cover_ok": cover_ok,
-                }
-            ]
-        )
+        return {
+            "zoom": zoom,
+            "tile_x": tile_x,
+            "tile_y": tile_y,
+            "n_points": n_points,
+            "n_cells": n_cells,
+            "n_vertices": int(n_vertices),
+            "n_faces": int(n_faces),
+            "max_err": max_err,
+            "min_z": min_z,
+            "max_z": max_z,
+            "terrain": terrain,
+            "euler_ok": euler_ok,
+            "verts_on_grid_ok": verts_on_grid_ok,
+            "cover_ok": cover_ok,
+        }
 
     return mesh_tile
+
+
+_TILE_COLS = (
+    "zoom", "tile_x", "tile_y", "n_points", "n_cells", "n_vertices",
+    "n_faces", "max_err", "min_z", "max_z", "terrain", "euler_ok",
+    "verts_on_grid_ok", "cover_ok",
+)
+
+
+def _make_mesh_kernel(*args):
+    """applyInPandas-compatible wrapper around _make_tile_fn (kept for
+    the pipeline/benchmark callers that group per tile)."""
+    tile_fn = _make_tile_fn(*args)
+
+    def mesh_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = tile_fn(
+            int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0]),
+            pdf["row_b"].to_numpy(), pdf["col_b"].to_numpy(),
+            pdf["z_sum"].to_numpy(), pdf["z_cnt"].to_numpy(),
+        )
+        return pd.DataFrame([d], columns=_TILE_COLS)
+
+    return mesh_tile
+
+
+def _make_stream_kernel(*args):
+    """mapInPandas generator over TILE-SORTED partitions: walks
+    contiguous (tile_x, tile_y) runs inside each Arrow batch with
+    NumPy slicing and emits ONE output DataFrame per batch (hundreds
+    of tiles) instead of one per tile. applyInPandas pays a pandas
+    sub-DataFrame + 1-row result DataFrame per group — measured ~8 ms
+    of per-tile overhead at 65k-tile scale, more than the mesh kernel
+    itself. A tile whose rows span two Arrow batches is carried over
+    in `buf` (rows per tile are contiguous because the partition is
+    sorted by the tile key)."""
+    tile_fn = _make_tile_fn(*args)
+
+    def process(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx = pdf["tile_x"].to_numpy()
+        ty = pdf["tile_y"].to_numpy()
+        rb = pdf["row_b"].to_numpy()
+        cb = pdf["col_b"].to_numpy()
+        zs = pdf["z_sum"].to_numpy()
+        zc = pdf["z_cnt"].to_numpy()
+        change = np.empty(len(tx), dtype=bool)
+        change[0] = True
+        change[1:] = (tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(tx))
+        out = [
+            tile_fn(int(tx[s]), int(ty[s]), rb[s:e], cb[s:e], zs[s:e], zc[s:e])
+            for s, e in zip(starts, ends)
+        ]
+        return pd.DataFrame(out, columns=_TILE_COLS)
+
+    def gen(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if not len(pdf):
+                continue
+            tx = pdf["tile_x"].to_numpy()
+            ty = pdf["tile_y"].to_numpy()
+            # the last group may continue in the next batch — hold it
+            eq = (tx == tx[-1]) & (ty == ty[-1])
+            nz = np.nonzero(~eq)[0]
+            start_last = int(nz[-1]) + 1 if len(nz) else 0
+            buf = pdf.iloc[start_last:]
+            if start_last:
+                yield process(pdf.iloc[:start_last])
+        if buf is not None and len(buf):
+            yield process(buf)
+
+    return gen
 
 
 def mesh_tiles(
@@ -319,8 +397,12 @@ def mesh_tiles(
     if mesh_parallelism is None:
         mesh_parallelism = spark.sparkContext.defaultParallelism
     cells = cells.repartition(mesh_parallelism, "tile_x", "tile_y")
-    kernel = _make_mesh_kernel(
+    # tile-sorted partitions + streaming mapInPandas: one Python/Arrow
+    # round per BATCH of tiles, not one pandas group per tile (the
+    # per-group overhead dominated the kernel at 65k-tile scale)
+    cells = cells.sortWithinPartitions("tile_x", "tile_y")
+    kernel = _make_stream_kernel(
         zoom, grid_bits, buffer_cells, method, max_error, step,
         compute_error, encode_terrain,
     )
-    return cells.groupBy("tile_x", "tile_y").applyInPandas(kernel, TILE_SCHEMA)
+    return cells.mapInPandas(kernel, TILE_SCHEMA)

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import geocode_exprs as GX
 from ..operators.geocode import geocode_points
-from ..operators.meshing import TILE_SCHEMA, _make_mesh_kernel, base_cells, cell_grid, rollup_cells
+from ..operators.meshing import TILE_SCHEMA, _make_stream_kernel, base_cells, cell_grid, rollup_cells
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -93,10 +93,13 @@ def build_tile_pyramid(
                 # per-zoom resolution re-default
                 else GX.tile_size_meters(zoom + grid_bits) / 10000.0
             )
-            kernel = _make_mesh_kernel(
+            kernel = _make_stream_kernel(
                 zoom, grid_bits, buffer_cells, method, me, 1, False, True
             )
-            tiles = grid.groupBy("tile_x", "tile_y").applyInPandas(kernel, TILE_SCHEMA)
+            grid = grid.repartition(
+                spark.sparkContext.defaultParallelism, "tile_x", "tile_y"
+            ).sortWithinPartitions("tile_x", "tile_y")
+            tiles = grid.mapInPandas(kernel, TILE_SCHEMA)
             tiles.write.mode("overwrite").parquet(zdir)
 
             n_tiles = spark.read.parquet(zdir).count()
