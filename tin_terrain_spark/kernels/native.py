@@ -173,16 +173,26 @@ def _emit(zsrc: np.ndarray, used_valid: np.ndarray,
 
 def _repair_corners(grid) -> None:
     """TerraUtils corner repair against the LIVE raster — identical to
-    TerraMesh.repair_point call order."""
-    from .raster import sample_nearest_valid_avg
+    TerraMesh.repair_point call order. The 3x3-subsample plane is
+    computed once and reused across corners, but ONLY while provably
+    unchanged: a corner write that alters the raster invalidates it, so
+    the values equal the per-call-fresh-plane semantics bit-for-bit
+    (a prior repaired corner can land inside a later corner's Bresenham
+    search on near-empty rasters)."""
+    from .raster import _subsample_3x3_full, sample_nearest_valid_avg
 
     h, w = grid.z.shape
+    plane = None
     for px, py in ((0, 0), (0, h - 1), (w - 1, h - 1), (w - 1, 0)):
-        z = sample_nearest_valid_avg(grid, py, px)
-        if np.isnan(z) or z == grid.ndv:
-            grid.z[py, px] = 0.0
-        else:
-            grid.z[py, px] = z
+        if plane is None:
+            plane = _subsample_3x3_full(grid.z, grid.ndv)
+        z = sample_nearest_valid_avg(grid, py, px, subsampled=plane)
+        old = grid.z[py, px]
+        new = 0.0 if (np.isnan(z) or z == grid.ndv) else z
+        grid.z[py, px] = new
+        # bit-level change check (NaN old and ±0.0 flips both count)
+        if not (new == old and np.signbit(new) == np.signbit(old)):
+            plane = None
 
 
 def terra_native(grid, max_error: float):
