@@ -35,11 +35,19 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("scaling", cores=cores)
 # warm-up: compile plans + spawn the python worker pool
 scaling_job(spark, sf_dir, mult=2, zoom=3)
-t0 = time.time()
-tiles, knn_rows, agg_rows, phases = scaling_job(
-    spark, sf_dir, mult=512, zoom=8, grid_bits=5, knn_zoom=7, knn_grid_bits=5)
-wall = time.time() - t0
-print(json.dumps({"cores": cores, "wall": round(wall, 3), "tiles": tiles,
+# min-of-3 within one session (bench.py's steady-state policy): this
+# host's CPU steal swings identical runs by +-50%
+walls, phs = [], []
+for _ in range(3):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    tiles, knn_rows, agg_rows, phases = scaling_job(
+        spark, sf_dir, mult=512, zoom=8, grid_bits=5, knn_zoom=7, knn_grid_bits=5)
+    walls.append(round(time.time() - t0, 3))
+    phs.append(phases)
+wall = min(walls)
+phases = {k: min(p[k] for p in phs) for k in phs[0]}
+print(json.dumps({"cores": cores, "wall": wall, "walls": walls, "tiles": tiles,
                   "knn_rows": knn_rows, "agg_rows": agg_rows,
                   "phases": phases,
                   "tiles_per_sec": round(tiles / phases["mesh_terra"], 3)}))
@@ -96,6 +104,9 @@ def main():
         [sys.executable, os.path.join(REPO, "scripts", "bench_kernel.py")],
         capture_output=True, text=True, timeout=600,
     ).stdout.strip()
+    # each leg runs the job 3x in one session and reports min wall +
+    # per-phase mins (the DRIVER above) — this host's CPU steal swings
+    # identical runs by ±50%, so single-shot walls are meaningless
     r_n = run_leg(2, zip_path, sf_dir)
     r_4n = run_leg(8, zip_path, sf_dir)
 
@@ -112,7 +123,11 @@ Identical compute-bound job (512x-replicated pages at {sf_dir} → ~25.6M
 points → zoom-8 terra tile pyramid (65536 tiles) + cell-ring kNN join +
 cell aggregation at zoom-7 cells), run at two parallelism levels
 N=local[2] and 4N=local[8], launched via `spark-submit --py-files` —
-the sandbox stand-in for N vs 4N executors. (The job was re-sized up
+the sandbox stand-in for N vs 4N executors. Each leg runs the job
+three times in one session; min wall and per-phase mins are reported
+(same steady-state policy as bench.py's min-of-3 — this host's CPU
+steal swings identical single-shot runs by ±50%, see the raw `walls`
+arrays below and NOTES.md). (The job was re-sized up
 after the native mesh kernel landed: the measured job must stay
 compute-bound for the 4x step to measure the ENGINE, not per-job
 constants. With the native kernel the mesh phase is dominated by

@@ -8,11 +8,14 @@ operators over a Common-Crawl-style web-pages table:
     → deterministic geocode (url-hash → Web-Mercator meters)
     → TMS tile keys at zoom z  (J1, reference src/MercatorProjection.cpp:48-65)
     → per-(tile,row,col) grid aggregation (SurfacePoints::to_raster analogue)
-    → per-tile Terra/Zemlya/dense TIN meshing inside applyInPandas
+    → per-tile Terra/Zemlya/dense TIN meshing inside a streaming
+      mapInPandas over tile-sorted partitions, native C kernels with a
+      bit-identical NumPy fallback
       (reference src/TerraMesh.cpp, src/ZemlyaMesh.cpp, src/simple_meshing.cpp)
     → quantized-mesh tile records   (reference src/QuantizedMeshIO.cpp)
 
-plus spatial joins (point-in-polygon, kNN via grid-ring expansion) and the
+plus spatial joins (point-in-polygon, kNN via grid-ring / hex-ring
+expansion), temporal joins (as-of, range/interval), and the
 training-data-pipeline operators (dedup, similarity search, text analysis)
 built on the same deterministic hash/tile machinery.
 

@@ -379,6 +379,88 @@ SQL_SESSIONIZE = """
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union + carry-forward window — one shuffle,
+    no theta join): every purchase event gets the most recent view at
+    or before it for the same user (ties on ts → greatest view id).
+    Timestamps emitted as exact epoch-microsecond BIGINTs so the
+    DuckDB hash can't drift on double conversion."""
+    from .operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        on="user_id", ts_col="ts",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "r_id",
+        F.unix_micros("r_ts").alias("r_ts_us"),
+        "r_value",
+    )
+
+
+SQL_ASOF_JOIN = """
+  WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+       r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+  SELECT event_id, user_id, epoch_us(l_ts) AS ts_us, value,
+         r_id, epoch_us(r_ts) AS r_ts_us, r_value
+  FROM (
+    SELECT l.event_id, l.user_id, l.ts AS l_ts, l.value,
+           r.event_id AS r_id, r.ts AS r_ts, r.value AS r_value,
+           ROW_NUMBER() OVER (PARTITION BY l.event_id
+                              ORDER BY r.ts DESC NULLS LAST,
+                                       r.event_id DESC NULLS LAST) AS rn
+    FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+  ) WHERE rn = 1
+"""
+
+
+def _synth_ranges(spark: SparkSession) -> DataFrame:
+    """64 deterministic [lo, hi) value ranges over the events value
+    domain (integer arithmetic only — exact in both engines)."""
+    return spark.range(64).select(
+        F.col("id").alias("range_id"),
+        (F.col("id") * 7 + F.col("id") % 5).cast("double").alias("lo"),
+        (F.col("id") * 7 + F.col("id") % 5 + 2 + (F.col("id") % 9) * 2)
+        .cast("double").alias("hi"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (bounded bucket-explode + hash equi-join + exact
+    refine — never a BroadcastNestedLoopJoin): events joined into 64
+    overlapping [lo, hi) value ranges, aggregated per range."""
+    from .operators.temporal import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    joined = range_join(
+        ev.select("event_id", "value"), _synth_ranges(spark), bucket_width=10.0
+    )
+    return joined.groupBy("range_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+  WITH ranges AS (
+    SELECT id AS range_id,
+           CAST(id * 7 + id % 5 AS DOUBLE) AS lo,
+           CAST(id * 7 + id % 5 + 2 + (id % 9) * 2 AS DOUBLE) AS hi
+    FROM (SELECT unnest(range(64)) AS id)
+  )
+  SELECT range_id, count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events e JOIN ranges r ON e.value >= r.lo AND e.value < r.hi
+  GROUP BY range_id
+"""
+
+
 QUERIES_EXT = {
     "pip": q_pip,
     "knn_brute": q_knn_brute,
@@ -404,6 +486,8 @@ QUERIES_EXT = {
     "ann_ivf": q_ann_ivf,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES_EXT = {
@@ -433,6 +517,8 @@ ORACLES_EXT = {
     "ann_ivf": S.sql_ann_ivf(),
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
 }
 
 
