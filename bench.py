@@ -70,6 +70,8 @@ def bench_queries():
         "fingerprints": ("text", QE.QUERIES_EXT["fingerprints"]),
         "events_window": ("events", QE.QUERIES_EXT["events_window"]),
         "sessionize": ("events", QE.QUERIES_EXT["sessionize"]),
+        "asof_join": ("events", QE.QUERIES_EXT["asof_join"]),
+        "range_join": ("events", QE.QUERIES_EXT["range_join"]),
     }
 
 
