@@ -305,3 +305,32 @@ def test_spark_raster_to_tin(tmp_path):
     for r in rows:
         assert r["n_vertices"] >= 4 and r["n_faces"] >= 2
         assert r["terrain"] is not None
+
+
+@pytest.mark.parametrize("compress", [False, "lzw"])
+def test_bigtiff_roundtrip(tmp_path, compress):
+    """BigTIFF (version 43, 8-byte offsets): write → read roundtrip,
+    values and georef identical to the classic layout."""
+    g = _sample_grid()
+    pb = str(tmp_path / "big.tif")
+    pc = str(tmp_path / "classic.tif")
+    write_geotiff(g, pb, compress=compress, epsg=3857, bigtiff=True)
+    write_geotiff(g, pc, compress=compress, epsg=3857)
+    data = open(pb, "rb").read()
+    assert struct.unpack("<H", data[2:4])[0] == 43
+    rb = read_geotiff(data, validate_projection=True)
+    rc = read_geotiff(open(pc, "rb").read(), validate_projection=True)
+    np.testing.assert_array_equal(rb.z, rc.z)
+    np.testing.assert_array_equal(rb.z, g.z)
+    assert (rb.xpos, rb.ypos, rb.cellsize, rb.ndv) == (
+        rc.xpos, rc.ypos, rc.cellsize, rc.ndv)
+
+
+def test_bigtiff_bad_offset_size_rejected(tmp_path):
+    g = _sample_grid()
+    p = str(tmp_path / "big.tif")
+    write_geotiff(g, p, bigtiff=True)
+    data = bytearray(open(p, "rb").read())
+    data[4:6] = struct.pack("<H", 4)  # invalid offset size
+    with pytest.raises(NotImplementedError):
+        read_geotiff(bytes(data))

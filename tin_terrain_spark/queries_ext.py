@@ -12,6 +12,7 @@ from .operators import joins as J
 from .operators import sampling as SM
 from .operators import similarity as S
 from .operators import textops as T
+from .operators import urlops as U
 from .operators.geocode import geocode_points
 from .queries import GRID_BITS, ZOOM, _docs, _points_sql
 
@@ -379,6 +380,16 @@ SQL_SESSIONIZE = """
 """
 
 
+def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host profile over deterministically-synthesized urls
+    (operators/urlops.py) — the domain-mixing primitive; host
+    extraction is JVM parse_url, the oracle rebuilds identical urls and
+    extracts with a regexp."""
+    from .operators.urlops import host_profile, synth_urls
+
+    return host_profile(synth_urls(_docs(spark, sf_dir)))
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (union + carry-forward window — one shuffle,
     no theta join): every purchase event gets the most recent view at
@@ -488,6 +499,7 @@ QUERIES_EXT = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "host_profile": q_host_profile,
 }
 
 ORACLES_EXT = {
@@ -519,6 +531,7 @@ ORACLES_EXT = {
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
     "range_join": SQL_RANGE_JOIN,
+    "host_profile": U.sql_host_profile(),
 }
 
 

@@ -44,6 +44,9 @@ _TYPES = {
     9: ("i", 4),
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 _TAG_WIDTH = 256
@@ -211,21 +214,36 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd(buf: bytes, bo: str):
-    (off,) = struct.unpack(bo + "I", buf[4:8])
-    (n,) = struct.unpack(bo + "H", buf[off : off + 2])
+def _read_ifd(buf: bytes, bo: str, big: bool = False):
+    """Parse the first IFD. Classic TIFF: 12-byte entries, 4-byte
+    counts/offsets. BigTIFF (version 43): 20-byte entries, 8-byte
+    counts/offsets, 8-byte inline-value slot."""
+    if big:
+        (off,) = struct.unpack(bo + "Q", buf[8:16])
+        (n,) = struct.unpack(bo + "Q", buf[off : off + 8])
+        esz, hdr, inline, ofmt = 20, 8, 8, "Q"
+    else:
+        (off,) = struct.unpack(bo + "I", buf[4:8])
+        (n,) = struct.unpack(bo + "H", buf[off : off + 2])
+        esz, hdr, inline, ofmt = 12, 2, 4, "I"
     tags: dict[int, tuple] = {}
-    for i in range(n):
-        e = off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(bo + "HHI", buf[e : e + 8])
+    for i in range(int(n)):
+        e = off + hdr + esz * i
+        if big:
+            tag, typ, cnt = struct.unpack(bo + "HHQ", buf[e : e + 12])
+            vslot = e + 12
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", buf[e : e + 8])
+            vslot = e + 8
         if typ not in _TYPES:
             continue
         fmt, sz = _TYPES[typ]
+        cnt = int(cnt)
         total = sz * cnt
-        if total <= 4:
-            raw = buf[e + 8 : e + 8 + total]
+        if total <= inline:
+            raw = buf[vslot : vslot + total]
         else:
-            (voff,) = struct.unpack(bo + "I", buf[e + 8 : e + 12])
+            (voff,) = struct.unpack(bo + ofmt, buf[vslot : vslot + inline])
             raw = buf[voff : voff + total]
         if typ == 2:
             tags[tag] = raw.split(b"\x00")[0].decode("ascii", "replace")
@@ -280,9 +298,15 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
     else:
         raise ValueError("not a TIFF file")
     (magic,) = struct.unpack(bo + "H", data[2:4])
-    if magic != 42:
-        raise NotImplementedError("BigTIFF (magic 43) not supported")
-    tags = _read_ifd(data, bo)
+    if magic == 43:  # BigTIFF: 8-byte offsets (the >4 GiB DEM mosaics)
+        (offsize, zero) = struct.unpack(bo + "HH", data[4:8])
+        if offsize != 8 or zero != 0:
+            raise NotImplementedError(f"BigTIFF offset size {offsize} not supported")
+        tags = _read_ifd(data, bo, big=True)
+    elif magic == 42:
+        tags = _read_ifd(data, bo)
+    else:
+        raise ValueError(f"not a TIFF file (version {magic})")
 
     w = int(tags[_TAG_WIDTH][0])
     h = int(tags[_TAG_HEIGHT][0])
@@ -381,11 +405,12 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
 
 
 def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
-                  epsg: int | None = None) -> None:
-    """Minimal single-band float32 GeoTIFF writer (classic, little-
-    endian, one strip per raster; compress: False | True/'deflate' |
-    'lzw' | 'packbits'; optional GeoKey CRS declaration) — enough for
-    test fixtures and for exporting Grids to GDAL-readable files."""
+                  epsg: int | None = None, bigtiff: bool = False) -> None:
+    """Minimal single-band float32 GeoTIFF writer (little-endian, one
+    strip per raster; compress: False | True/'deflate' | 'lzw' |
+    'packbits'; optional GeoKey CRS declaration; bigtiff=True emits the
+    version-43 8-byte-offset layout) — enough for test fixtures and for
+    exporting Grids to GDAL-readable files."""
     h, w = grid.z.shape
     payload = np.ascontiguousarray(grid.z, dtype="<f4").tobytes()
     comp_tag = 1
@@ -429,10 +454,15 @@ def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
                _GEOKEY_PROJECTED_CS, 0, 1, epsg))
     entry(_TAG_GDAL_NODATA, 2, len(ndv_s), ndv_s)
 
-    header = struct.pack("<2sHI", b"II", 42, 8)
     n = len(entries)
-    ifd_size = 2 + 12 * n + 4
-    overflow_off = 8 + ifd_size
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        ifd_off, ecount_sz, esz, inline, ofmt, next_sz = 16, 8, 20, 8, "Q", 8
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        ifd_off, ecount_sz, esz, inline, ofmt, next_sz = 8, 2, 12, 4, "I", 4
+    ifd_size = ecount_sz + esz * n + next_sz
+    overflow_off = ifd_off + ifd_size
     overflow = b""
     packed = []
     for tag, typ, cnt, vals in entries:
@@ -444,19 +474,22 @@ def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
             raw = vals
         else:
             raw = struct.pack("<" + fmt * cnt, *vals)
-        if len(raw) <= 4:
-            packed.append((tag, typ, cnt, raw.ljust(4, b"\x00")))
+        if len(raw) <= inline:
+            packed.append((tag, typ, cnt, raw.ljust(inline, b"\x00")))
         else:
-            packed.append((tag, typ, cnt, struct.pack("<I", overflow_off + len(overflow))))
+            packed.append((tag, typ, cnt, struct.pack("<" + ofmt, overflow_off + len(overflow))))
             overflow += raw
     data_off = overflow_off + len(overflow)
     out = bytearray(header)
-    out += struct.pack("<H", n)
+    out += struct.pack("<" + ("Q" if bigtiff else "H"), n)
     for tag, typ, cnt, raw in packed:
         if raw is None:
-            raw = struct.pack("<I", data_off)
-        out += struct.pack("<HHI", tag, typ, cnt) + raw
-    out += struct.pack("<I", 0)  # next-IFD = none
+            raw = struct.pack("<" + ofmt, data_off).ljust(inline, b"\x00")
+        if bigtiff:
+            out += struct.pack("<HHQ", tag, typ, cnt) + raw
+        else:
+            out += struct.pack("<HHI", tag, typ, cnt) + raw
+    out += struct.pack("<" + ofmt, 0)  # next-IFD = none
     out += overflow
     out += payload
     with open(path, "wb") as f:
