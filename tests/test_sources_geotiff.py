@@ -334,3 +334,80 @@ def test_bigtiff_bad_offset_size_rejected(tmp_path):
     data[4:6] = struct.pack("<H", 4)  # invalid offset size
     with pytest.raises(NotImplementedError):
         read_geotiff(bytes(data))
+
+
+def _pack_classic_tiff(entries, strips, bo="<"):
+    """Minimal classic-TIFF packer for fixture bytes (little-endian)."""
+    entries = sorted(entries, key=lambda e: e[0])
+    n = len(entries)
+    overflow_off = 8 + 2 + 12 * n + 4
+    fmts = {3: "H", 4: "I", 12: "d"}
+    over_bytes = sum(
+        struct.calcsize(fmts[t]) * c
+        for _, t, c, _ in entries
+        if struct.calcsize(fmts[t]) * c > 4
+    )
+    data_off = overflow_off + over_bytes
+    offsets = []
+    o = data_off
+    for s in strips:
+        offsets.append(o)
+        o += len(s)
+    overflow = b""
+    body = b""
+    for tag, typ, cnt, vals in entries:
+        if vals is None:
+            vals = tuple(offsets)
+        raw = struct.pack(bo + fmts[typ] * cnt, *vals)
+        if len(raw) <= 4:
+            body += struct.pack(bo + "HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")
+        else:
+            body += struct.pack(bo + "HHI", tag, typ, cnt) + struct.pack(
+                bo + "I", overflow_off + len(overflow)
+            )
+            overflow += raw
+    out = struct.pack(bo + "2sHI", b"II" if bo == "<" else b"MM", 42, 8)
+    out += struct.pack(bo + "H", n) + body + struct.pack(bo + "I", 0)
+    out += overflow + b"".join(strips)
+    return out
+
+
+def test_multiband_chunky_band1_with_predictor():
+    """3-band pixel-interleaved int16 with horizontal predictor: the
+    predictor differences PER SAMPLE; band 1 must come back exact."""
+    h, w, spp = 4, 5, 3
+    rng = np.random.RandomState(9)
+    bands = (rng.rand(h, w, spp) * 200 - 50).astype(np.int16)
+    inter = bands.astype(np.int64)
+    diff = np.diff(inter, axis=1, prepend=np.zeros((h, 1, spp), dtype=np.int64))
+    strip = diff.astype("<i2").tobytes()
+    entries = [
+        (256, 4, 1, (w,)), (257, 4, 1, (h,)), (258, 3, spp, (16,) * spp),
+        (259, 3, 1, (1,)), (262, 3, 1, (1,)), (277, 3, 1, (spp,)),
+        (278, 4, 1, (h,)), (284, 3, 1, (1,)), (317, 3, 1, (2,)),
+        (339, 3, spp, (2,) * spp),
+        (273, 4, 1, None), (279, 4, 1, (len(strip),)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
+    ]
+    g = read_geotiff(_pack_classic_tiff(entries, [strip]))
+    np.testing.assert_array_equal(g.z, bands[:, :, 0].astype(np.float64))
+
+
+def test_multiband_planar_band1():
+    """2-band planar (PlanarConfiguration=2) float32: band 1's strips
+    come first; band 2's strips must be ignored."""
+    h, w = 3, 4
+    b1 = np.arange(h * w, dtype=np.float32).reshape(h, w) * 1.5
+    b2 = -np.ones((h, w), dtype=np.float32)
+    strips = [b1.astype("<f4").tobytes(), b2.astype("<f4").tobytes()]
+    entries = [
+        (256, 4, 1, (w,)), (257, 4, 1, (h,)), (258, 3, 2, (32, 32)),
+        (259, 3, 1, (1,)), (262, 3, 1, (1,)), (277, 3, 1, (2,)),
+        (278, 4, 1, (h,)), (284, 3, 1, (2,)), (339, 3, 2, (3, 3)),
+        (273, 4, 2, None), (279, 4, 2, tuple(len(s) for s in strips)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
+    ]
+    g = read_geotiff(_pack_classic_tiff(entries, strips))
+    np.testing.assert_array_equal(g.z, b1.astype(np.float64))

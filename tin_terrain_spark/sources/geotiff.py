@@ -265,7 +265,12 @@ def _dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
 
 
 def _decode_block(raw: bytes, compression: int, dtype: np.dtype,
-                  rows: int, cols: int, predictor: int) -> np.ndarray:
+                  rows: int, cols: int, predictor: int,
+                  spp: int = 1) -> np.ndarray:
+    """Decode one strip/tile → (rows, cols) of the FIRST sample.
+    spp > 1 means chunky (pixel-interleaved) multi-band data: the
+    horizontal predictor differences per SAMPLE (value[i] += value
+    [i - spp]), so the cumsum runs along columns after de-interleave."""
     if compression in (8, 32946):  # deflate (zlib)
         raw = zlib.decompress(raw)
     elif compression == 5:  # LZW — the most common DEM-archive codec
@@ -275,12 +280,14 @@ def _decode_block(raw: bytes, compression: int, dtype: np.dtype,
     elif compression != 1:
         raise NotImplementedError(f"TIFF compression {compression} not supported "
                                   "(supported: none, deflate, LZW, PackBits)")
-    a = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
+    a = np.frombuffer(raw, dtype=dtype, count=rows * cols * spp).reshape(
+        rows, cols, spp
+    )
     if predictor == 2:
         a = np.cumsum(a.astype(np.int64), axis=1).astype(dtype)
     elif predictor not in (0, 1):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
-    return a
+    return a[:, :, 0]
 
 
 def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
@@ -313,12 +320,21 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
     bits = int(tags.get(_TAG_BITS, (32,))[0])
     compression = int(tags.get(_TAG_COMPRESSION, (1,))[0])
     spp = int(tags.get(_TAG_SAMPLES_PER_PIXEL, (1,))[0])
-    if spp != 1:
-        raise NotImplementedError("multi-band GeoTIFF not supported (band 1 only "
-                                  "in the reference too, RasterIO.cpp:387-394)")
+    # multi-band: band 1 only, like the reference's GDAL GetRasterBand(1)
+    # load (RasterIO.cpp:387-394). planar_config 1 = chunky (pixel-
+    # interleaved, handled in _decode_block), 2 = planar (band 1's
+    # blocks are the first blocks_per_band strip/tile entries).
+    planar = int(tags.get(284, (1,))[0])
+    if spp != 1 and planar not in (1, 2):
+        raise NotImplementedError(f"PlanarConfiguration {planar} not supported")
     sample_format = int(tags.get(_TAG_SAMPLE_FORMAT, (1,))[0])
     predictor = int(tags.get(_TAG_PREDICTOR, (1,))[0])
     dtype = _dtype(bits, sample_format, bo)
+
+    # chunky multi-band: every block carries spp interleaved samples;
+    # planar multi-band: only band 1's blocks (the first 1/spp of the
+    # offsets array) are read
+    block_spp = spp if planar == 1 else 1
 
     z = np.empty((h, w), dtype=np.float64)
     if _TAG_TILE_OFFSETS in tags:
@@ -327,9 +343,12 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
         offs = tags[_TAG_TILE_OFFSETS]
         cnts = tags[_TAG_TILE_COUNTS]
         tiles_x = (w + tw - 1) // tw
-        for i, (o, c) in enumerate(zip(offs, cnts)):
+        tiles_y = (h + th - 1) // th
+        n_band1 = tiles_x * tiles_y
+        for i, (o, c) in enumerate(zip(offs[:n_band1], cnts[:n_band1])):
             ty, tx = divmod(i, tiles_x)
-            block = _decode_block(data[o : o + c], compression, dtype, th, tw, predictor)
+            block = _decode_block(data[o : o + c], compression, dtype, th, tw,
+                                  predictor, block_spp)
             r0, c0 = ty * th, tx * tw
             rr, cc = min(th, h - r0), min(tw, w - c0)
             z[r0 : r0 + rr, c0 : c0 + cc] = block[:rr, :cc].astype(np.float64)
@@ -337,10 +356,12 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
         offs = tags[_TAG_STRIP_OFFSETS]
         cnts = tags[_TAG_STRIP_COUNTS]
         rps = int(tags.get(_TAG_ROWS_PER_STRIP, (h,))[0])
-        for i, (o, c) in enumerate(zip(offs, cnts)):
+        n_band1 = (h + rps - 1) // rps
+        for i, (o, c) in enumerate(zip(offs[:n_band1], cnts[:n_band1])):
             r0 = i * rps
             rows = min(rps, h - r0)
-            block = _decode_block(data[o : o + c], compression, dtype, rows, w, predictor)
+            block = _decode_block(data[o : o + c], compression, dtype, rows, w,
+                                  predictor, block_spp)
             z[r0 : r0 + rows] = block.astype(np.float64)
 
     if validate_projection:
