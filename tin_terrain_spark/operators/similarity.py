@@ -314,11 +314,19 @@ def embed_near_dup(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # norms once per VECTOR (O(n x dim)), not once per pair side
+    # (O(pairs x dim)) — same values, same arithmetic, factored out
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.expr(_norm_sql("embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.expr(_norm_sql("embedding")).alias("norm_b"),
+    )
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     dot = F.expr(DOT.format(a="emb_a", b="emb_b"))
-    cos = dot / (F.expr(_norm_sql("emb_a")) * F.expr(_norm_sql("emb_b")))
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
     return (
         pairs.withColumn("score", F.round(cos, 4))
         .filter(F.col("score") >= threshold)
