@@ -25,15 +25,19 @@ def _norm_sql(col: str) -> str:
 
 def ann_brute(emb: DataFrame, n_queries: int = 8, k: int = 10) -> DataFrame:
     """Exact brute-force cosine top-k for the first n_queries vectors."""
-    v = emb.select("vec_id", "embedding")
+    # norms once per vector / per query, not per pair (same values,
+    # factored out of the O(n x queries) pair stream)
+    v = emb.select(
+        "vec_id", "embedding", F.expr(_norm_sql("embedding")).alias("_norm")
+    )
     q = v.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("_qnorm"),
     )
     pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
     dot = F.expr(DOT.format(a="embedding", b="q_emb"))
-    cos = dot / (
-        F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("q_emb"))
-    )
+    cos = dot / (F.col("_norm") * F.col("_qnorm"))
     scored = pairs.withColumn("score", F.round(cos, 4))
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
@@ -97,9 +101,13 @@ def ann_lsh(
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    cand = cand_ids.join(emb, "vec_id").join(F.broadcast(q), "q_id")
+    embn = emb.select(
+        "vec_id", "embedding", F.expr(_norm_sql("embedding")).alias("_norm")
+    )
+    qn = q.withColumn("_qnorm", F.expr(_norm_sql("q_emb")))
+    cand = cand_ids.join(embn, "vec_id").join(F.broadcast(qn), "q_id")
     dot = F.expr(DOT.format(a="embedding", b="q_emb"))
-    cos = dot / (F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("q_emb")))
+    cos = dot / (F.col("_norm") * F.col("_qnorm"))
     scored = cand.withColumn("score", F.round(cos, 4))
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
@@ -209,9 +217,13 @@ def ann_ivf(
         .select("q_id", "vec_id")
         .distinct()
     )
-    cand = cand_ids.join(emb, "vec_id").join(F.broadcast(q), "q_id")
+    embn = emb.select(
+        "vec_id", "embedding", F.expr(_norm_sql("embedding")).alias("_norm")
+    )
+    qn = q.withColumn("_qnorm", F.expr(_norm_sql("q_emb")))
+    cand = cand_ids.join(embn, "vec_id").join(F.broadcast(qn), "q_id")
     dot = F.expr(DOT.format(a="embedding", b="q_emb"))
-    cos = dot / (F.expr(_norm_sql("embedding")) * F.expr(_norm_sql("q_emb")))
+    cos = dot / (F.col("_norm") * F.col("_qnorm"))
     scored = cand.withColumn("score", F.round(cos, 4))
     w = W.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (
