@@ -199,7 +199,9 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
             .filter(F.col("rank") <= k)
             .select("q_id", "doc_id", "rank", "dist2")
         ).persist()
-        topk.count()  # materialize ONCE; both consumers read the cache
+        # no eager count: the remaining.count() action below is the
+        # first consumer and populates the cache; every later reader
+        # (done semi-join, final union) hits it
         round_caches.append(topk)
 
         guarantee2 = float(ring * cell_m) ** 2
@@ -394,7 +396,9 @@ def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
             .filter(F.col("rank") <= k)
             .select("q_id", "doc_id", "rank", "dist2")
         ).persist()
-        topk.count()
+        # no eager count: the remaining.count() action below is the
+        # first consumer and populates the cache; every later reader
+        # (done semi-join, final union) hits it
         round_caches.append(topk)
 
         guarantee2 = HG.hex_ring_guarantee_m(ring, hex_size) ** 2
