@@ -110,6 +110,45 @@ def test_knn_ring_equals_brute(spark, points):
     assert b == g
 
 
+def test_knn_density_ring_equals_brute(spark, points):
+    """initial_ring=None → density-derived first ring (or the brute
+    short-circuit on tiny corpora); all three variants must agree."""
+    import pyspark.sql.functions as F
+
+    from tin_terrain_spark.functions.geocode_exprs import tile_size_meters
+    from tin_terrain_spark.operators.joins import knn_brute, knn_hex, knn_ring
+
+    queries = points.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
+    )
+    others = points.filter(F.col("doc_id") >= 10)
+    b = {
+        (r["q_id"], r["rank"]): r["doc_id"]
+        for r in knn_brute(others, queries, k=5).collect()
+    }
+    g = {
+        (r["q_id"], r["rank"]): r["doc_id"]
+        for r in knn_ring(others, queries, 2, 5, k=5).collect()
+    }
+    assert b == g
+    h = {
+        (r["q_id"], r["rank"]): r["doc_id"]
+        for r in knn_hex(
+            others, queries.select("q_id", "x", "y"), tile_size_meters(7), k=5
+        ).collect()
+    }
+    assert b == h
+    # explicit small first ring → the iterative path still converges
+    h2 = {
+        (r["q_id"], r["rank"]): r["doc_id"]
+        for r in knn_hex(
+            others, queries.select("q_id", "x", "y"), tile_size_meters(7), k=5,
+            initial_ring=1,
+        ).collect()
+    }
+    assert b == h2
+
+
 def test_ann_lsh_recall(spark):
     from tin_terrain_spark.operators.similarity import ann_brute, ann_lsh
 

@@ -119,6 +119,119 @@ def knn_brute(points: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def _density_ring(pts: DataFrame, k: int, cell_m: float,
+                  geometry: str) -> int | None:
+    """Size the FIRST ring so one round resolves well-distributed data:
+    one aggregate over the points (count + xy bounding box) gives the
+    areal density; the ring radius is chosen so the guarantee circle
+    (the distance below which nothing outside the ring can lie) is
+    expected to hold ~32x k points. An under-estimate only costs an
+    extra round (the guarantee check stays exact); an over-estimate
+    only widens the candidate window. Returns None when the corpus is
+    so small (n <= 32k) or so degenerate (zero-area bbox) that the
+    brute crossJoin is the right plan outright.
+
+    The denominator is the COVERED AREA, not the occupied-cell count:
+    on sparse grids (most cells empty) occupied-cell density
+    overestimates true density by the fill factor, which is exactly
+    the regime where the first ring then misses its guarantee and the
+    query pays fixed per-round coordination again.
+    """
+    import math
+
+    row = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).collect()[0]
+    n = row["n"] or 0
+    if n <= 32 * k:
+        return None
+    area = (row["x1"] - row["x0"]) * (row["y1"] - row["y0"])
+    if not area or area <= 0.0:
+        return None
+    g = math.sqrt(32.0 * k * area / (math.pi * n))  # guarantee radius, meters
+    if geometry == "square":
+        # square-grid guarantee: R * cell_m  =>  R >= g / cell_m
+        ring = int(math.ceil(g / cell_m))
+    else:
+        # hex staircase guarantee: (1.5 (R+1) - 2) * s  >=  g
+        ring = int(math.ceil((g / cell_m + 2.0) / 1.5 - 1.0))
+    return max(2, ring)
+
+
+def _knn_rounds(pts: DataFrame, q: DataFrame, k: int, initial_ring: int,
+                max_rounds: int, cand_fn, guarantee_m, pts_persists,
+                brute_pts: DataFrame) -> DataFrame:
+    """Shared iterative driver for knn_ring / knn_hex: per round, build
+    candidates within ring R of each unresolved query (cand_fn), refine
+    by exact distance + per-query top-k, and mark a query FINAL when
+    its k-th distance <= guarantee_m(R) (nothing outside the ring can
+    be closer). Unresolved queries re-run with R*4; what survives
+    max_rounds hits the brute crossJoin.
+
+    Coordination is deliberately minimal: ONE action per round (the
+    unresolved count, which doubles as the materializer for that
+    round's persisted top-k — the split reads the ring join twice, and
+    with a lazy DAG Spark would recompute the join per consumer). When
+    round 1 resolves every query — the designed case, since the ring
+    is density-sized — the result IS the round-1 cache: no semi-join,
+    no extra materialize action; total cost is the density aggregate +
+    one join round. No driver collect of data rows anywhere; counts
+    are coordination, as in any LSH/ANN loop.
+    """
+    w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
+    done: DataFrame | None = None
+    remaining = q
+    ring = initial_ring
+    round_caches: list[DataFrame] = []
+    for _ in range(max_rounds):
+        cand = cand_fn(pts, remaining, ring).withColumn(
+            "dist2",
+            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
+            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
+        )
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "doc_id", "rank", "dist2")
+        ).persist()
+        round_caches.append(topk)
+
+        guarantee2 = float(guarantee_m(ring)) ** 2
+        resolved = (
+            topk.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
+            .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
+            .select("q_id")
+        )
+        nxt = remaining.join(F.broadcast(resolved), "q_id", "left_anti")
+        if nxt.count() == 0:  # the action that populates topk's cache
+            for p in pts_persists:  # topk is cached; pts scan is done
+                p.unpersist()
+            if done is None:
+                # single-round fast path: every query resolved, so the
+                # cached round-1 top-k IS the result (documented single
+                # persist residue, same as _finalize_rounds')
+                return topk
+            final = done.unionAll(
+                topk.join(F.broadcast(resolved), "q_id", "left_semi")
+            )
+            return _finalize_rounds(final, round_caches)
+        done_r = topk.join(F.broadcast(resolved), "q_id", "left_semi")
+        done = done_r if done is None else done.unionAll(done_r)
+        remaining = nxt
+        ring *= 4
+
+    leftover = knn_brute(
+        brute_pts,
+        remaining.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")),
+        k,
+    )
+    final = leftover if done is None else done.unionAll(leftover)
+    return _finalize_rounds(final, round_caches + list(pts_persists))
+
+
 def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
              k: int = 5, initial_ring: int | None = None,
              repartition_to: int | None = None,
@@ -132,22 +245,11 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
     exact distance, and takes the per-query top-k. A query is FINAL
     when its k-th distance ≤ R * cell_size (nothing outside the ring
     can be closer — the same buffered-margin geometry as the
-    reference's partitions, dem2tintiles_workflow.cpp:51-53).
-    Unresolved queries re-run with R*4 (cheap: the query set only
-    shrinks); only what survives max_ring_rounds hits the brute
-    crossJoin, whose window sort over |points| x |queries| rows is the
-    scale-killer this operator exists to avoid.
-
-    Each round's top-k is persisted AND materialized (count) before the
-    resolved/unresolved split: the split reads the ring join twice, and
-    with a lazy DAG Spark would recompute the join per consumer —
-    measured 2x wasted work that also anti-scales with parallelism.
-    The resolve itself is all joins (no driver collect of data rows;
-    the count is coordination, not data movement — this is an
-    iterative algorithm, driver-coordinated like any LSH/ANN loop).
+    reference's partitions, dem2tintiles_workflow.cpp:51-53). The
+    first ring is density-derived (_density_ring) so round 1 is
+    expected to resolve everything; the iterative loop is the
+    rare-miss path. See _knn_rounds for the coordination contract.
     """
-    import math
-
     cell_m = GX.tile_size_meters(zoom + grid_bits)
     pts = points.select("doc_id", "x", "y", "cell_x", "cell_y")
     # No .rdd probing (that forces an RDD conversion) and no implicit
@@ -165,63 +267,26 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
     )
 
     if initial_ring is None:
-        stats = pts.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("cell_x", "cell_y").alias("nc"),
-        ).collect()[0]
-        density = stats["n"] / max(stats["nc"], 1)
-        # size the window for ~4x oversampling: the guarantee needs the
-        # k-th hit INSIDE R*cell_m, not merely k candidates in the box
-        initial_ring = max(
-            2, int(math.ceil(math.sqrt(32.0 * k / max(density, 1e-9)) / 2))
-        )
+        initial_ring = _density_ring(pts, k, cell_m, "square")
+        if initial_ring is None:  # tiny/degenerate corpus: brute IS the plan
+            return knn_brute(
+                pts, q.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
+            )
 
-    w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
-    done: DataFrame | None = None
-    remaining = q
-    ring = initial_ring
-    round_caches: list[DataFrame] = []
-    for _ in range(max_ring_rounds):
-        cand = pts.join(
+    def cand_fn(pts_r, remaining, ring):
+        return pts_r.join(
             F.broadcast(remaining),
             (F.col("cell_x") >= F.col("qcx") - ring)
             & (F.col("cell_x") <= F.col("qcx") + ring)
             & (F.col("cell_y") >= F.col("qcy") - ring)
             & (F.col("cell_y") <= F.col("qcy") + ring),
             "inner",
-        ).withColumn(
-            "dist2",
-            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
-            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
         )
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "doc_id", "rank", "dist2")
-        ).persist()
-        # no eager count: the remaining.count() action below is the
-        # first consumer and populates the cache; every later reader
-        # (done semi-join, final union) hits it
-        round_caches.append(topk)
 
-        guarantee2 = float(ring * cell_m) ** 2
-        resolved = (
-            topk.groupBy("q_id")
-            .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
-            .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
-            .select("q_id")
-        )
-        done_r = topk.join(F.broadcast(resolved), "q_id", "left_semi")
-        done = done_r if done is None else done.unionAll(done_r)
-        remaining = remaining.join(F.broadcast(resolved), "q_id", "left_anti")
-        if remaining.count() == 0:
-            return _finalize_rounds(done, round_caches)
-        ring *= 4
-
-    leftover = knn_brute(
-        pts, remaining.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
+    return _knn_rounds(
+        pts, q, k, initial_ring, max_ring_rounds,
+        cand_fn, lambda r: r * cell_m, pts_persists=(), brute_pts=pts,
     )
-    return _finalize_rounds(done.unionAll(leftover), round_caches)
 
 
 def _finalize_rounds(result: DataFrame, round_caches: list[DataFrame]) -> DataFrame:
@@ -355,67 +420,53 @@ def _hex_ring_cells(remaining: DataFrame, ring: int) -> DataFrame:
 
 
 def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
-            k: int = 5, initial_ring: int = 2,
+            k: int = 5, initial_ring: int | None = None,
             repartition_to: int | None = None,
             max_ring_rounds: int = 3) -> DataFrame:
     """J6 over the H3-style hex index (charter: "kNN lookups over H3
-    ring expansion"): identical iterative structure to knn_ring, but
-    candidate rings are hexagonal — the ring ball is exploded to cell
-    rows and equi-joined on (hex_q, hex_r) — and the resolution
+    ring expansion"): same iterative driver as knn_ring (_knn_rounds),
+    but candidate rings are hexagonal — the ring ball is exploded to
+    cell rows and equi-joined on (hex_q, hex_r) — and the resolution
     guarantee uses the hex staircase geometry
-    (hexgrid.hex_ring_guarantee_m). Cells are computed on the fly from
-    the meter coordinates with pure Column expressions (no UDF, no
-    native lib). Exactness: results are hash-equal to knn_brute (the
-    driver gate's oracle recomputes brute-force kNN in DuckDB)."""
+    (hexgrid.hex_ring_guarantee_m). Cells are computed from the meter
+    coordinates with pure Column expressions (no UDF, no native lib),
+    ONCE: on the local/query path (repartition_to set) the hexed
+    points projection is persisted across rounds instead of re-derived
+    per action; cluster-scale callers keep their layout and pay the
+    (cheap, codegen'd) per-scan hex math instead of caching 10^12
+    rows. The first ring is density-derived so round 1 is expected to
+    resolve everything. Exactness: results are hash-equal to knn_brute
+    (the driver gate's oracle recomputes brute-force kNN in DuckDB)."""
     from ..functions import hexgrid as HG
 
     pts = points.select("doc_id", "x", "y")
+    persists: tuple = ()
     if repartition_to is not None:
-        pts = pts.repartition(repartition_to)
-    pts = HG.with_hex_cell(pts, hex_size)
+        pts = HG.with_hex_cell(pts.repartition(repartition_to), hex_size).persist()
+        persists = (pts,)
+    else:
+        pts = HG.with_hex_cell(pts, hex_size)
     q = HG.with_hex_cell(
         queries.select("q_id", F.col("x").alias("qx"), F.col("y").alias("qy")),
         hex_size, x="qx", y="qy", q_col="qhq", r_col="qhr",
     )
 
-    w = W.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
-    done: DataFrame | None = None
-    remaining = q
-    ring = initial_ring
-    round_caches: list[DataFrame] = []
-    for _ in range(max_ring_rounds):
-        cand = pts.join(
+    if initial_ring is None:
+        initial_ring = _density_ring(pts, k, hex_size, "hex")
+        if initial_ring is None:  # tiny/degenerate corpus: brute IS the plan
+            for p in persists:
+                p.unpersist()
+            return knn_brute(
+                pts, q.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
+            )
+
+    def cand_fn(pts_r, remaining, ring):
+        return pts_r.join(
             F.broadcast(_hex_ring_cells(remaining, ring)), ["hex_q", "hex_r"], "inner"
-        ).withColumn(
-            "dist2",
-            (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
-            + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
         )
-        topk = (
-            cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("q_id", "doc_id", "rank", "dist2")
-        ).persist()
-        # no eager count: the remaining.count() action below is the
-        # first consumer and populates the cache; every later reader
-        # (done semi-join, final union) hits it
-        round_caches.append(topk)
 
-        guarantee2 = HG.hex_ring_guarantee_m(ring, hex_size) ** 2
-        resolved = (
-            topk.groupBy("q_id")
-            .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
-            .filter((F.col("n_found") >= k) & (F.col("kth_d2") <= guarantee2))
-            .select("q_id")
-        )
-        done_r = topk.join(F.broadcast(resolved), "q_id", "left_semi")
-        done = done_r if done is None else done.unionAll(done_r)
-        remaining = remaining.join(F.broadcast(resolved), "q_id", "left_anti")
-        if remaining.count() == 0:
-            return _finalize_rounds(done, round_caches)
-        ring *= 4
-
-    leftover = knn_brute(
-        pts, remaining.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
+    return _knn_rounds(
+        pts, q, k, initial_ring, max_ring_rounds,
+        cand_fn, lambda r: HG.hex_ring_guarantee_m(r, hex_size),
+        pts_persists=persists, brute_pts=pts,
     )
-    return _finalize_rounds(done.unionAll(leftover), round_caches)

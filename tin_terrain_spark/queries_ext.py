@@ -81,7 +81,7 @@ def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
     )
     return J.knn_ring(
-        pts.filter(F.col("doc_id") >= 8), queries, ZOOM, GRID_BITS, k=5, initial_ring=8,
+        pts.filter(F.col("doc_id") >= 8), queries, ZOOM, GRID_BITS, k=5,
         repartition_to=spark.sparkContext.defaultParallelism,
     )
 
@@ -100,7 +100,7 @@ def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("q_id"), "x", "y"
     )
     return J.knn_hex(
-        pts.filter(F.col("doc_id") >= 8), queries, HEX_SIZE, k=5, initial_ring=4,
+        pts.filter(F.col("doc_id") >= 8), queries, HEX_SIZE, k=5,
         repartition_to=spark.sparkContext.defaultParallelism,
     )
 
