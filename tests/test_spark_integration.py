@@ -149,6 +149,58 @@ def test_knn_density_ring_equals_brute(spark, points):
     assert b == h2
 
 
+def test_with_h3_id_packs_axial(spark, points):
+    """H3-layout ids over the hex grid: every packed id must be a valid
+    cell-mode H3 index that decodes back to its row's axial cell."""
+    import pyspark.sql.functions as F
+
+    from tin_terrain_spark.functions.geocode_exprs import tile_size_meters
+    from tin_terrain_spark.functions.h3pack import (
+        SHIM_BASE_CELL, axial_from_h3, h3_is_valid, unpack_h3, with_h3_id,
+    )
+
+    rows = (
+        with_h3_id(
+            points.select("doc_id", "x", "y").filter(F.col("doc_id") < 100),
+            tile_size_meters(7),
+        )
+        .select("hex_q", "hex_r", "h3_id")
+        .collect()
+    )
+    assert len(rows) == 100
+    for r in rows:
+        h = r["h3_id"] & 0xFFFFFFFFFFFFFFFF  # BIGINT carrier -> uint64 bits
+        assert h3_is_valid(h)
+        f = unpack_h3(h)
+        assert f["res"] == 15 and f["base_cell"] == SHIM_BASE_CELL
+        assert axial_from_h3(h) == (r["hex_q"], r["hex_r"])
+
+
+def test_image_features_real_png_path(spark):
+    """PNG payloads run the REAL decoder through the full mapInPandas
+    pipeline: pooled features equal the hand-computed column sums of
+    the decoded grayscale pixels (not the stub's hash pixels)."""
+    import numpy as np
+
+    from tin_terrain_spark.kernels import png as P
+    from tin_terrain_spark.operators import multimodal as M
+    from tin_terrain_spark.operators.multimodal import image_features
+
+    px = np.tile((np.arange(32, dtype=np.uint8) * 7)[None, :, None], (32, 1, 1))
+    payload = P.encode_png(px, filters=4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 32, 32)],
+        "doc_id long, media_type string, payload binary, width int, height int",
+    )
+    feat = image_features(media).collect()[0]["feature"]
+    if not M._HAS_PIL:
+        gray = (px[:, :, 0].astype(np.float32)) / 256.0
+        expect = gray.sum(axis=0, dtype=np.float64)[:16].astype(np.float32)
+        assert feat == pytest.approx(list(expect))
+    else:
+        assert len(feat) == 16
+
+
 def test_ann_lsh_recall(spark):
     from tin_terrain_spark.operators.similarity import ann_brute, ann_lsh
 

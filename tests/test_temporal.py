@@ -58,6 +58,28 @@ def test_asof_tie_on_ts_matches_and_prefers_max_id(spark):
     assert row["r_value"] == 20.0
 
 
+def test_asof_generic_schema(spark):
+    """Ids/payloads with non-default types and names: the join derives
+    everything from the input schemas (no hard-coded bigint/double
+    'value')."""
+    from tin_terrain_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1, _ts(10), 7, "L1")],
+        "lid string, user_id long, ts timestamp, qty int, tag string",
+    )
+    right = spark.createDataFrame(
+        [("r1", 1, _ts(9), "north"), ("r2", 1, _ts(11), "south")],
+        "rid string, user_id long, ts timestamp, region string",
+    )
+    row = asof_join(
+        left, right, left_id="lid", right_id="rid",
+        right_vals=("region",), left_vals=("qty", "tag"),
+    ).collect()[0]
+    assert row["lid"] == "a" and row["qty"] == 7 and row["tag"] == "L1"
+    assert row["r_id"] == "r1" and row["r_region"] == "north"
+
+
 def test_range_join_boundaries_and_overlap(spark):
     from tin_terrain_spark.operators.temporal import range_join
 

@@ -1,0 +1,326 @@
+"""Real H3 cell ids: the public 64-bit index bit layout + aperture-7
+digit encoding over the engine's axial hex grid (functions/hexgrid.py).
+
+The charter names "H3/S2 cells" as the index surface. hexgrid.py gives
+the GEOMETRY (pointy-top axial cells, ring expansion, kNN guarantee);
+this module gives the ID FORMAT: ids laid out exactly per the public
+H3 spec (h3geo.org/docs/core-library/h3Indexing), so they round-trip
+through any tooling that stores/parses H3 indexes:
+
+  bit 63      reserved (0)
+  bits 59-62  mode (1 = cell)
+  bits 56-58  reserved (0)
+  bits 52-55  resolution (0..15)
+  bits 45-51  base cell (0..121)
+  bits 0-44   15 digits x 3 bits; digit 1 at bits 42-44, digit 15 at
+              bits 0-2; digits past the resolution are 7 (unused)
+
+Digits are computed with the spec's own aperture-7 CoordIJK algebra
+(class II/III alternation, _upAp7/_upAp7r rounding, unit-vector digit
+extraction) re-derived here from the published definitions — so the
+digit path of an id is bit-compatible with the library's.
+
+SHIM SCOPE (documented, tested): the engine indexes a planar
+Web-Mercator grid, not the icosahedron, so there is no face/base-cell
+projection step. All ids live under ONE designated non-pentagon base
+cell (SHIM_BASE_CELL) with the axial origin at its center. Joining
+against data indexed by the real h3 library therefore needs the same
+planar convention on both sides; the VALUE of this layout is (a) ids
+validate and introspect anywhere H3 ids do (mode/res/base-cell/digit
+extraction, string form), (b) parent/child truncation works by digit
+masking exactly as in H3, (c) a future icosahedral front-end only has
+to supply (base_cell, ijk) — the digit machinery below is already
+spec-true.
+
+Capacity: 15 digit levels address 7^15 ≈ 4.7e12 res-15 cells around
+the origin — a Chebyshev-ish disk of ~1.2e6 cells radius. encode
+raises on coordinates outside it (the leftover IJK after 15 up-steps
+must be the origin), so overflow is loud, never silent aliasing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# --- bit layout (public H3 spec) -------------------------------------
+
+MODE_CELL = 1
+_MAX_RES = 15
+_RES_OFFSET = 52
+_MODE_OFFSET = 59
+_BC_OFFSET = 45
+
+# designated shim base cell: 20 is a regular hexagon (not one of the
+# 12 pentagons: 4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117), so
+# every digit 0..6 is legal under it
+SHIM_BASE_CELL = 20
+_PENTAGONS = frozenset({4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117})
+
+
+def pack_h3(res: int, base_cell: int, digits) -> int:
+    """Assemble a cell-mode H3 index from fields. `digits` holds the
+    per-resolution digits 1..res (values 0..6); digits past `res` are
+    set to 7 per the spec."""
+    if not (0 <= res <= _MAX_RES):
+        raise ValueError(f"resolution {res} out of range")
+    if not (0 <= base_cell <= 121):
+        raise ValueError(f"base cell {base_cell} out of range")
+    if len(digits) != res:
+        raise ValueError(f"need exactly {res} digits, got {len(digits)}")
+    h = (MODE_CELL << _MODE_OFFSET) | (res << _RES_OFFSET) | (base_cell << _BC_OFFSET)
+    for r in range(1, _MAX_RES + 1):
+        d = digits[r - 1] if r <= res else 7
+        if not (0 <= d <= 7):
+            raise ValueError(f"digit {d} out of range")
+        h |= d << (3 * (_MAX_RES - r))
+    return h
+
+
+def unpack_h3(h: int) -> dict:
+    """Field extraction: mode, resolution, base cell, digits 1..res."""
+    res = (h >> _RES_OFFSET) & 0xF
+    return {
+        "mode": (h >> _MODE_OFFSET) & 0xF,
+        "res": res,
+        "base_cell": (h >> _BC_OFFSET) & 0x7F,
+        "digits": [(h >> (3 * (_MAX_RES - r))) & 0x7 for r in range(1, res + 1)],
+    }
+
+
+def h3_is_valid(h: int) -> bool:
+    """Cell-mode validity per the spec: high bit 0, mode 1, reserved
+    bits 0, base cell <= 121, used digits <= 6 (no K digit under a
+    pentagon), unused digits all 7."""
+    if h >> 63:
+        return False
+    if (h >> _MODE_OFFSET) & 0xF != MODE_CELL:
+        return False
+    if (h >> 56) & 0x7:
+        return False
+    f = unpack_h3(h)
+    if f["base_cell"] > 121:
+        return False
+    if any(d > 6 for d in f["digits"]):
+        return False
+    if f["base_cell"] in _PENTAGONS and any(d == 1 for d in f["digits"]):
+        return False
+    for r in range(f["res"] + 1, _MAX_RES + 1):
+        if (h >> (3 * (_MAX_RES - r))) & 0x7 != 7:
+            return False
+    return True
+
+
+def h3_to_string(h: int) -> str:
+    return format(h, "x")
+
+
+def string_to_h3(s: str) -> int:
+    return int(s, 16)
+
+
+def h3_to_parent(h: int, parent_res: int) -> int:
+    """Truncate to a coarser resolution by digit masking (spec
+    semantics: set res, fill digits past parent_res with 7)."""
+    f = unpack_h3(h)
+    if parent_res > f["res"] or parent_res < 0:
+        raise ValueError("parent_res must be <= cell res")
+    return pack_h3(parent_res, f["base_cell"], f["digits"][:parent_res])
+
+
+# --- CoordIJK algebra (public aperture-7 definitions) -----------------
+
+# digit -> unit IJK vector (spec direction order)
+_UNIT_VECS = (
+    (0, 0, 0),  # 0 center
+    (0, 0, 1),  # 1 K
+    (0, 1, 0),  # 2 J
+    (0, 1, 1),  # 3 JK
+    (1, 0, 0),  # 4 I
+    (1, 0, 1),  # 5 IK
+    (1, 1, 0),  # 6 IJ
+)
+_VEC_TO_DIGIT = {v: d for d, v in enumerate(_UNIT_VECS)}
+
+
+def _normalize(i: int, j: int, k: int) -> tuple[int, int, int]:
+    if i < 0:
+        j -= i
+        k -= i
+        i = 0
+    if j < 0:
+        i -= j
+        k -= j
+        j = 0
+    if k < 0:
+        i -= k
+        j -= k
+        k = 0
+    m = min(i, j, k)
+    return i - m, j - m, k - m
+
+
+def _round_half_away(x_num: int, den: int = 7) -> int:
+    """lround((num/den)) for integer num, positive den: round half away
+    from zero, matching the C library's lroundl on exact .5 values."""
+    if x_num >= 0:
+        return (2 * x_num + den) // (2 * den)
+    return -((-2 * x_num + den) // (2 * den))
+
+
+def _up_ap7(i: int, j: int, k: int) -> tuple[int, int, int]:
+    """Parent cell in the counter-clockwise aperture-7 grid."""
+    di, dj = i - k, j - k
+    return _normalize(
+        _round_half_away(3 * di - dj), _round_half_away(di + 2 * dj), 0
+    )
+
+
+def _up_ap7r(i: int, j: int, k: int) -> tuple[int, int, int]:
+    """Parent cell in the clockwise aperture-7 grid."""
+    di, dj = i - k, j - k
+    return _normalize(
+        _round_half_away(2 * di + dj), _round_half_away(3 * dj - di), 0
+    )
+
+
+def _down_ap7(i: int, j: int, k: int) -> tuple[int, int, int]:
+    # res-r unit vectors expressed in res r+1 (ccw): i->(3,0,1),
+    # j->(1,3,0), k->(0,1,3)
+    return _normalize(3 * i + j, 3 * j + k, i + 3 * k)
+
+
+def _down_ap7r(i: int, j: int, k: int) -> tuple[int, int, int]:
+    # clockwise: i->(3,1,0), j->(0,3,1), k->(1,0,3)
+    return _normalize(3 * i + k, i + 3 * j, j + 3 * k)
+
+
+def _is_class_iii(res: int) -> bool:
+    return res % 2 == 1
+
+
+# --- axial <-> H3 ------------------------------------------------------
+
+
+def h3_from_axial(q: int, r: int, res: int = _MAX_RES,
+                  base_cell: int = SHIM_BASE_CELL) -> int:
+    """Encode an axial cell (hexgrid.py's (hex_q, hex_r)) at `res`
+    under the shim base cell. Spec digit algorithm: walk from the
+    finest resolution up, recording at each step which child of the
+    parent the cell is (class II/III alternation). Raises when the
+    coordinate doesn't fit in `res` digits (leftover != origin)."""
+    # axial -> IJK (q = i - k, r = j - k with k = 0, then normalize)
+    i, j, k = _normalize(int(q), int(r), 0)
+    digits = [0] * res
+    for rr in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        if _is_class_iii(rr):
+            i, j, k = _up_ap7(li, lj, lk)
+            ci, cj, ck = _down_ap7(i, j, k)
+        else:
+            i, j, k = _up_ap7r(li, lj, lk)
+            ci, cj, ck = _down_ap7r(i, j, k)
+        diff = _normalize(li - ci, lj - cj, lk - ck)
+        try:
+            digits[rr - 1] = _VEC_TO_DIGIT[diff]
+        except KeyError:  # can't happen for in-range coords
+            raise ValueError(f"axial ({q}, {r}) not on the aperture-7 lattice")
+    if (i, j, k) != (0, 0, 0):
+        raise ValueError(
+            f"axial ({q}, {r}) out of range for {res} digit levels"
+        )
+    return pack_h3(res, base_cell, digits)
+
+
+def axial_from_h3(h: int) -> tuple[int, int]:
+    """Decode back to axial (q, r): walk the digits coarse-to-fine
+    (spec decode order), then IJK -> axial."""
+    f = unpack_h3(h)
+    i, j, k = 0, 0, 0
+    for rr in range(1, f["res"] + 1):
+        if _is_class_iii(rr):
+            i, j, k = _down_ap7(i, j, k)
+        else:
+            i, j, k = _down_ap7r(i, j, k)
+        ui, uj, uk = _UNIT_VECS[f["digits"][rr - 1]]
+        i, j, k = _normalize(i + ui, j + uj, k + uk)
+    return i - k, j - k
+
+
+def h3_from_axial_np(q: np.ndarray, r: np.ndarray, res: int = _MAX_RES,
+                     base_cell: int = SHIM_BASE_CELL) -> np.ndarray:
+    """Vectorized batch encode (the Arrow-batch work unit for the
+    pandas_udf below): same algorithm, whole-array integer ops."""
+    i = np.asarray(q, dtype=np.int64).copy()
+    j = np.asarray(r, dtype=np.int64).copy()
+    k = np.zeros_like(i)
+
+    def nrm(i, j, k):
+        neg = i < 0
+        j = j - np.where(neg, i, 0)
+        k = k - np.where(neg, i, 0)
+        i = np.where(neg, 0, i)
+        neg = j < 0
+        i = i - np.where(neg, j, 0)
+        k = k - np.where(neg, j, 0)
+        j = np.where(neg, 0, j)
+        neg = k < 0
+        i = i - np.where(neg, k, 0)
+        j = j - np.where(neg, k, 0)
+        k = np.where(neg, 0, k)
+        m = np.minimum(np.minimum(i, j), k)
+        return i - m, j - m, k - m
+
+    def rha(num):  # round-half-away for num/7
+        pos = (2 * num + 7) // 14
+        neg = -((-2 * num + 7) // 14)
+        return np.where(num >= 0, pos, neg)
+
+    i, j, k = nrm(i, j, k)
+    h = np.full(
+        i.shape,
+        (MODE_CELL << _MODE_OFFSET) | (res << _RES_OFFSET) | (base_cell << _BC_OFFSET),
+        dtype=np.uint64,
+    )
+    for rr in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        di, dj = li - lk, lj - lk
+        if _is_class_iii(rr):
+            i, j, k = nrm(rha(3 * di - dj), rha(di + 2 * dj), np.zeros_like(di))
+            ci, cj, ck = nrm(3 * i + j, 3 * j + k, i + 3 * k)
+        else:
+            i, j, k = nrm(rha(2 * di + dj), rha(3 * dj - di), np.zeros_like(di))
+            ci, cj, ck = nrm(3 * i + k, i + 3 * j, j + 3 * k)
+        ui, uj, uk = nrm(li - ci, lj - cj, lk - ck)
+        # unit vec -> digit: d = 4*i + 2*j + k maps the 7 unit vectors
+        # to 0..6 exactly in spec order (see _UNIT_VECS)
+        digit = (4 * ui + 2 * uj + uk).astype(np.uint64)
+        h |= digit << np.uint64(3 * (_MAX_RES - rr))
+    if not (np.all(i == 0) and np.all(j == 0) and np.all(k == 0)):
+        raise ValueError(f"some axial coords out of range for {res} digit levels")
+    for rr in range(res + 1, _MAX_RES + 1):
+        h |= np.uint64(7) << np.uint64(3 * (_MAX_RES - rr))
+    return h.astype(np.int64)  # BIGINT column carrier; bit pattern preserved
+
+
+def with_h3_id(df, size: float, x: str = "x", y: str = "y",
+               res: int = _MAX_RES, out_col: str = "h3_id"):
+    """DataFrame helper: axial cells (hexgrid.with_hex_cell) packed to
+    H3-layout ids via an Arrow-batched pandas_udf. The id is a
+    BIGINT whose bits are the H3 index (cast to uint64 / hex-format
+    for interop)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    from . import hexgrid as HG
+
+    def _pack_batch(hq, hr):
+        return pd.Series(h3_from_axial_np(hq.to_numpy(), hr.to_numpy(), res=res))
+
+    # explicit Series->Series signature (type hints would be resolved
+    # against module globals, where pandas isn't imported)
+    _pack_batch.__annotations__ = {"hq": pd.Series, "hr": pd.Series, "return": pd.Series}
+    _pack = pandas_udf(_pack_batch, "long")
+
+    hexed = HG.with_hex_cell(df, size, x=x, y=y)
+    return hexed.withColumn(out_col, _pack(F.col("hex_q"), F.col("hex_r")))

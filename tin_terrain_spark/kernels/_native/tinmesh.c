@@ -519,6 +519,11 @@ static void walk_rows(Mesh *m, int y0, int y1, double x1, double dx1,
         double hi = (x1 < x2) ? x2 : x1;
         int sx = (int)ceil(lo);
         int ex = (int)floor(hi);
+        /* clamp to the row (the Python path's list slicing clamps
+           implicitly): float drift in the sequential x accumulators
+           must shorten the span, never read out of bounds */
+        if (sx < 0) sx = 0;
+        if (ex > w - 1) ex = w - 1;
         const double *zr = src + (size_t)y * w;
         const uint8_t *ur = used + (size_t)y * w;
         for (int xi = sx; xi <= ex; xi++) {

@@ -195,6 +195,22 @@ def _repair_corners(grid) -> None:
             plane = None
 
 
+def _snapshot_corners(grid):
+    """Bit-exact copies of the 4 corner cells, taken BEFORE
+    _repair_corners: corner repair is not idempotent (a repaired corner
+    can enter a later corner's nearest-valid search), so a native-path
+    failure after repair must hand the pure-Python fallback pristine
+    corners or the fallback diverges from the semantics oracle."""
+    h, w = grid.z.shape
+    return [(py, px, grid.z[py, px].copy())
+            for px, py in ((0, 0), (0, h - 1), (w - 1, h - 1), (w - 1, 0))]
+
+
+def _restore_corners(grid, snap) -> None:
+    for py, px, v in snap:
+        grid.z[py, px] = v
+
+
 def terra_native(grid, max_error: float):
     """Native TerraMesh greedy_insert + to_mesh. Returns (verts, faces)
     or None when the native path is unavailable / overflowed."""
@@ -204,6 +220,7 @@ def terra_native(grid, max_error: float):
     h, w = grid.z.shape
     if h < 2 or w < 2:
         return None
+    corner_snap = _snapshot_corners(grid)
     _repair_corners(grid)
     z = np.ascontiguousarray(grid.z, dtype=np.float64)
     used = np.zeros((h, w), dtype=np.uint8)
@@ -220,7 +237,8 @@ def terra_native(grid, max_error: float):
         _ptr(pts, ctypes.c_double), cap_pts, ctypes.byref(n_pts),
     )
     if nf < 0:
-        return None
+        _restore_corners(grid, corner_snap)  # pure-Python fallback must
+        return None  # repair pristine corners (repair isn't idempotent)
     # grid.z may have been repaired in place; emission reads it like
     # TerraMesh.to_mesh (used cells, nan/ndv dropped)
     zs = grid.z
@@ -242,6 +260,7 @@ def zemlya_native(grid, max_error: float):
         return None
     zm = ZemlyaMesh(grid)
     zm.build_pyramid()  # pre-repair raster, as in greedy_insert
+    corner_snap = _snapshot_corners(grid)
     _repair_corners(grid)
 
     result = np.full((h, w), np.nan)
@@ -274,6 +293,7 @@ def zemlya_native(grid, max_error: float):
         _ptr(pts, ctypes.c_double), cap_pts, ctypes.byref(n_pts),
     )
     if nf < 0:
+        _restore_corners(grid, corner_snap)  # see terra_native
         return None
     valid = ~(np.isnan(result) | (result == grid.ndv))
     return _emit(result, valid, faces_pts[:nf], pts[: n_pts.value], grid)

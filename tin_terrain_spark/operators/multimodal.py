@@ -69,19 +69,32 @@ except ImportError:  # this container ships no codec libs
 
 
 def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None":
-    """PIL branch (import-gated): grayscale float32 pixels in [0, 1),
-    cropped to the stub's 32x32 budget so downstream pooling shapes
-    match. Returns None when the bytes aren't a decodable image."""
-    if not (_HAS_PIL and payload):
+    """Real decode: PIL when importable (any format), else the
+    pure-NumPy PNG reader (kernels/png.py — stdlib zlib, no image
+    libs), so PNG payloads decode for real even in this container.
+    Grayscale float32 pixels in [0, 1), cropped to the stub's 32x32
+    budget so downstream pooling shapes match. Returns None when the
+    bytes aren't a decodable image (caller falls back to the stub)."""
+    if not payload:
         return None
-    import io
+    if _HAS_PIL:
+        import io
 
-    try:
-        img = _PILImage.open(io.BytesIO(payload)).convert("L")
-    except Exception:
-        return None
-    px = np.asarray(img, dtype=np.float32) / 256.0
-    return px[: min(int(height), 32), : min(int(width), 32)]
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        except Exception:
+            return None
+        px = np.asarray(img, dtype=np.float32) / 256.0
+        return px[: min(int(height), 32), : min(int(width), 32)]
+    from ..kernels import png as _png
+
+    if _png.is_png(payload):
+        try:
+            px = _png.to_gray_f32(_png.decode_png(payload))
+        except ValueError:
+            return None
+        return px[: min(int(height), 32), : min(int(width), 32)]
+    return None
 
 
 def _decode_stub(payload: bytes, width: int, height: int, frame_salt: int = 0) -> np.ndarray:
@@ -133,9 +146,12 @@ def image_features(media: DataFrame, dim: int = 16) -> DataFrame:
             for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 px = _decode_pixels(bytes(payload) if payload is not None else b"", int(w), int(h))
                 # pooled per-column sums (exact in float32: sum < 2^21/65536),
-                # truncated to dim (decoded width is always >= 16 >= dim)
-                pooled = px.sum(axis=0, dtype=np.float64)[:dim].astype(np.float32)
-                feats.append(pooled.tolist())
+                # truncated to dim; a real decode narrower than dim is
+                # zero-padded so the feature vector length is invariant
+                pooled = px.sum(axis=0, dtype=np.float64)[:dim]
+                if pooled.shape[0] < dim:
+                    pooled = np.pad(pooled, (0, dim - pooled.shape[0]))
+                feats.append(pooled.astype(np.float32).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

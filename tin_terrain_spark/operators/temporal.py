@@ -30,6 +30,7 @@ def asof_join(
     left_id: str = "event_id",
     right_id: str = "event_id",
     right_vals: tuple = ("value",),
+    left_vals: tuple = ("value",),
 ) -> DataFrame:
     """Backward as-of join: for every left row, attach the right row
     with the greatest ts <= left.ts for the same `on` key (ties on ts
@@ -40,7 +41,16 @@ def asof_join(
     carrying the most recent right row forward onto each left row.
     Right rows sort BEFORE left rows at equal ts, so ts_r == ts_l
     matches (the usual as-of convention).
+
+    The left payload columns (`left_vals`, kept under their own names)
+    are symmetrical to `right_vals` (emitted as r_<name>); id, ts, and
+    payload types are taken from the input schemas, never assumed.
     """
+    rid_t = right.schema[right_id].dataType.simpleString()
+    lid_t = left.schema[left_id].dataType.simpleString()
+    ts_t = right.schema[ts_col].dataType.simpleString()
+    rval_t = {c: right.schema[c].dataType.simpleString() for c in right_vals}
+    lval_t = {c: left.schema[c].dataType.simpleString() for c in left_vals}
     r_payload = F.struct(
         F.col(ts_col).alias("r_ts"),
         F.col(right_id).alias("r_id"),
@@ -52,22 +62,22 @@ def asof_join(
         F.lit(0).alias("_side"),
         F.col(right_id).alias("_rid"),
         r_payload.alias("_r"),
-        F.lit(None).cast("bigint").alias("_lid"),
-        F.lit(None).cast("double").alias("_lval"),
+        F.lit(None).cast(lid_t).alias("_lid"),
+        *[F.lit(None).cast(lval_t[c]).alias(f"_l_{c}") for c in left_vals],
     )
     null_r = F.lit(None).cast(
-        "struct<r_ts:timestamp,r_id:bigint,"
-        + ",".join(f"r_{c}:double" for c in right_vals)
+        f"struct<r_ts:{ts_t},r_id:{rid_t},"
+        + ",".join(f"r_{c}:{rval_t[c]}" for c in right_vals)
         + ">"
     )
     l = left.select(
         F.col(on),
         F.col(ts_col),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("bigint").alias("_rid"),
+        F.lit(None).cast(rid_t).alias("_rid"),
         null_r.alias("_r"),
         F.col(left_id).alias("_lid"),
-        F.col("value").alias("_lval"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_vals],
     )
     u = r.unionByName(l)
     w = (
@@ -80,7 +90,7 @@ def asof_join(
         F.col("_lid").alias(left_id),
         F.col(on),
         F.col(ts_col),
-        F.col("_lval").alias("value"),
+        *[F.col(f"_l_{c}").alias(c) for c in left_vals],
         F.col("_match.r_id").alias("r_id"),
         F.col("_match.r_ts").alias("r_ts"),
         *[F.col(f"_match.r_{c}").alias(f"r_{c}") for c in right_vals],
