@@ -34,6 +34,63 @@ def test_write_read_roundtrip(tmp_path, compress):
     assert r.ndv == g.ndv
 
 
+@pytest.mark.parametrize("compress", [False, True, "lzw"])
+def test_write_read_roundtrip_fp_predictor3(tmp_path, compress):
+    """Floating-point predictor (TIFF TechNote 3): deflate+predictor-3
+    float32 is the common real-DEM archive layout; the roundtrip must
+    be bit-exact including nodata and NaN cells."""
+    g = _sample_grid()
+    g.z[0, 0] = np.nan
+    p = str(tmp_path / "fp3.tif")
+    write_geotiff(g, p, compress=compress, predictor=3)
+    data = open(p, "rb").read()
+    r = read_geotiff(data)
+    np.testing.assert_array_equal(
+        np.asarray(r.z, dtype=np.float32), np.asarray(g.z, dtype=np.float32)
+    )
+    # the predictor must actually be declared (tag 317 = 3) and improve
+    # deflate on smooth data (the reason archives use it)
+    assert struct.pack("<HHI", 317, 3, 1) in data
+    if compress is True:
+        smooth = Grid(
+            np.linspace(0.0, 500.0, 64 * 64).reshape(64, 64),
+            xpos=0.0, ypos=0.0, cellsize=1.0, ndv=-9999.0,
+        )
+        p1, p3 = str(tmp_path / "s1.tif"), str(tmp_path / "s3.tif")
+        write_geotiff(smooth, p1, compress=True, predictor=1)
+        write_geotiff(smooth, p3, compress=True, predictor=3)
+        import os
+
+        assert os.path.getsize(p3) < os.path.getsize(p1)
+
+
+def test_predictor3_requires_float():
+    """A predictor-3 file whose samples are integers is rejected, not
+    silently mis-decoded."""
+    h, w = 2, 3
+    payload = np.zeros(h * w * 2, dtype=np.uint8).tobytes()
+    entries = [
+        (256, 4, 1, (w,)), (257, 4, 1, (h,)), (258, 3, 1, (16,)),
+        (259, 3, 1, (1,)), (262, 3, 1, (1,)), (277, 3, 1, (1,)),
+        (278, 4, 1, (h,)), (317, 3, 1, (3,)), (339, 3, 1, (1,)),
+    ]
+    # minimal LE classic TIFF with inline values
+    ifd_off = 8
+    n = len(entries) + 2  # + strip offsets/counts
+    data_off = ifd_off + 2 + 12 * n + 4
+    all_entries = sorted(
+        entries + [(273, 4, 1, (data_off,)), (279, 4, 1, (len(payload),))]
+    )
+    out = struct.pack("<2sHI", b"II", 42, ifd_off) + struct.pack("<H", n)
+    for tag, typ, cnt, vals in all_entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        raw = struct.pack("<" + fmt * cnt, *vals).ljust(4, b"\x00")
+        out += struct.pack("<HHI", tag, typ, cnt) + raw
+    out += struct.pack("<I", 0) + payload
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        read_geotiff(out)
+
+
 def test_reader_int16_predictor2_bigendian_strips():
     """Hand-packed big-endian int16 TIFF, 2 strips, horizontal
     predictor — the classic DEM encoding."""

@@ -280,6 +280,37 @@ def _decode_block(raw: bytes, compression: int, dtype: np.dtype,
     elif compression != 1:
         raise NotImplementedError(f"TIFF compression {compression} not supported "
                                   "(supported: none, deflate, LZW, PackBits)")
+    if predictor == 3:
+        # TIFF floating-point predictor (Technical Note 3, the common
+        # float32-DEM archive layout): per scanline, the value bytes
+        # are split into byte planes in CANONICAL big-endian order
+        # (plane 0 = every value's MSB — independent of the file's
+        # declared byte order), then horizontally differenced byte-wise
+        # with stride = samples-per-pixel across the whole rearranged
+        # row. Decode = cumulative byte sums mod 256, then reassemble
+        # each value MSB-first.
+        if dtype.kind != "f":
+            raise NotImplementedError("TIFF predictor 3 requires float samples")
+        bps = dtype.itemsize
+        wc = cols * spp  # values per scanline
+        row_bytes = wc * bps
+        b = np.frombuffer(raw, dtype=np.uint8, count=rows * row_bytes).reshape(
+            rows, row_bytes
+        )
+        # byte-wise accumulate with stride spp: positions p and p-spp
+        # are the same lane; reshape rows to (row_bytes // spp, spp)
+        # and cumsum along the first axis
+        acc = (
+            b.reshape(rows, row_bytes // spp, spp)
+            .cumsum(axis=1, dtype=np.int64)
+            % 256
+        ).astype(np.uint8).reshape(rows, row_bytes)
+        planes = acc.reshape(rows, bps, wc)  # plane-major, MSB first
+        be = np.ascontiguousarray(planes.transpose(0, 2, 1))  # (rows, wc, bps)
+        a = np.frombuffer(be.tobytes(), dtype=np.dtype(f">f{bps}")).reshape(
+            rows, cols, spp
+        )
+        return a[:, :, 0]
     a = np.frombuffer(raw, dtype=dtype, count=rows * cols * spp).reshape(
         rows, cols, spp
     )
@@ -426,14 +457,32 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
 
 
 def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
-                  epsg: int | None = None, bigtiff: bool = False) -> None:
+                  epsg: int | None = None, bigtiff: bool = False,
+                  predictor: int = 1) -> None:
     """Minimal single-band float32 GeoTIFF writer (little-endian, one
     strip per raster; compress: False | True/'deflate' | 'lzw' |
     'packbits'; optional GeoKey CRS declaration; bigtiff=True emits the
-    version-43 8-byte-offset layout) — enough for test fixtures and for
-    exporting Grids to GDAL-readable files."""
+    version-43 8-byte-offset layout; predictor=3 applies the
+    floating-point predictor before compression — the deflate+
+    predictor-3 combination is the common float32 DEM archive layout)
+    — enough for test fixtures and for exporting Grids to
+    GDAL-readable files."""
     h, w = grid.z.shape
-    payload = np.ascontiguousarray(grid.z, dtype="<f4").tobytes()
+    if predictor == 3:
+        # inverse of the _decode_block path: per row, canonical
+        # big-endian byte planes (MSB plane first), then byte-wise
+        # horizontal difference with stride 1 (spp = 1)
+        be = np.frombuffer(
+            np.ascontiguousarray(grid.z, dtype=">f4").tobytes(), dtype=np.uint8
+        ).reshape(h, w, 4)
+        planes = np.ascontiguousarray(be.transpose(0, 2, 1)).reshape(h, w * 4)
+        diff = planes.astype(np.int16)
+        diff[:, 1:] -= planes[:, :-1].astype(np.int16)
+        payload = (diff % 256).astype(np.uint8).tobytes()
+    elif predictor == 1:
+        payload = np.ascontiguousarray(grid.z, dtype="<f4").tobytes()
+    else:
+        raise ValueError(f"writer supports predictor 1 or 3, not {predictor}")
     comp_tag = 1
     if compress is True or compress == "deflate":
         payload = zlib.compress(payload)
@@ -462,6 +511,8 @@ def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
     entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, (1,))
     entry(_TAG_ROWS_PER_STRIP, 4, 1, (h,))
     entry(_TAG_STRIP_COUNTS, 4, 1, (len(payload),))
+    if predictor != 1:  # tag 317: IFD entries ascend by tag number
+        entry(_TAG_PREDICTOR, 3, 1, (predictor,))
     entry(_TAG_SAMPLE_FORMAT, 3, 1, (3,))
     entry(_TAG_MODEL_PIXEL_SCALE, 12, 3, (grid.cellsize, grid.cellsize, 0.0))
     # tiepoint: raster (0,0) ↔ world top-left corner

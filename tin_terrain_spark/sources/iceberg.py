@@ -178,3 +178,137 @@ def completed_tile_keys(spark: SparkSession, zoom: int,
     manifest, but transactional)."""
     _require(spark)
     return spark.table(table).where(f"zoom = {zoom}").select(*TILE_KEY)
+
+
+# --------------------------------------------------------------------------
+# Tile catalog interface: the MERGE-resume contract, two bindings
+# --------------------------------------------------------------------------
+
+
+class TileCatalog:
+    """The sink contract the pipeline resumes against:
+
+      merge(tiles)            upsert keyed on (zoom, tile_x, tile_y) —
+                              matched rows replaced by the recomputed
+                              tile, missing rows inserted; repeating a
+                              merge converges to the same state
+      completed_keys(zoom)    keys already materialized (anti-join input
+                              for skip-what's-done resume)
+      read()                  current table state
+
+    `IcebergTileCatalog` binds it to MERGE INTO on a real lakehouse
+    (jar-gated); `LocalTileCatalog` implements the SAME semantics on
+    versioned parquet so the resume logic executes (and is tested) in
+    jar-less environments. The pipeline codes against the interface and
+    cannot tell which one it got."""
+
+    def merge(self, tiles: DataFrame) -> None:
+        raise NotImplementedError
+
+    def completed_keys(self, zoom: int) -> DataFrame:
+        raise NotImplementedError
+
+    def read(self) -> DataFrame:
+        raise NotImplementedError
+
+
+class IcebergTileCatalog(TileCatalog):
+    def __init__(self, spark: SparkSession, table: str = "lake.web.tiles"):
+        _require(spark)
+        self.spark = spark
+        self.table = table
+
+    def merge(self, tiles: DataFrame) -> None:
+        merge_tiles(self.spark, tiles, self.table)
+
+    def completed_keys(self, zoom: int) -> DataFrame:
+        return completed_tile_keys(self.spark, zoom, self.table)
+
+    def read(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+
+class LocalTileCatalog(TileCatalog):
+    """Parquet-backed MERGE semantics with versioned commits.
+
+    Layout: <path>/v_<n>/ parquet snapshots + <path>/LATEST pointing at
+    the live version. A merge writes the NEXT version completely, then
+    commits by atomically replacing LATEST (os.replace) — a crash
+    before the pointer flip leaves the previous version live, so a
+    resumed run re-merges its batch idempotently; a crash after is a
+    completed merge. Single-writer by design (the driver owns the
+    commit, same as the pipeline's manifest); Iceberg supplies the
+    multi-writer serializable version of the identical state machine.
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _latest(self) -> int:
+        import os
+
+        p = os.path.join(self.path, "LATEST")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def _version_dir(self, v: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"v_{v:06d}")
+
+    def read(self) -> DataFrame:
+        v = self._latest()
+        if v == 0:
+            raise ValueError("empty catalog: merge at least once first")
+        return self.spark.read.parquet(self._version_dir(v))
+
+    def merge(self, tiles: DataFrame) -> None:
+        import os
+        import tempfile
+
+        v = self._latest()
+        keys = list(TILE_KEY)
+        if v == 0:
+            new_state = tiles
+        else:
+            cur = self.read()
+            # MERGE INTO semantics: matched -> replaced by the update,
+            # not matched -> kept; plus all new rows
+            new_state = cur.join(
+                tiles.select(*keys), keys, "left_anti"
+            ).unionByName(tiles)
+        nxt = v + 1
+        new_state.write.mode("overwrite").parquet(self._version_dir(nxt))
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, os.path.join(self.path, "LATEST"))  # the commit
+
+    def completed_keys(self, zoom: int) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if self._latest() == 0:
+            schema = ", ".join(
+                ("zoom INT",) + tuple(f"{k} BIGINT" for k in TILE_KEY[1:])
+            )
+            return self.spark.createDataFrame([], schema)
+        return self.read().where(F.col("zoom") == zoom).select(*TILE_KEY)
+
+
+def tile_catalog(spark: SparkSession, table: str = "lake.web.tiles",
+                 local_path: str | None = None) -> TileCatalog:
+    """Binding choice: Iceberg when the jars are present, else the
+    local parquet catalog at `local_path` (required in that case)."""
+    if iceberg_available(spark):
+        return IcebergTileCatalog(spark, table)
+    if local_path is None:
+        raise IcebergUnavailable(
+            "no Iceberg runtime and no local_path fallback given"
+        )
+    return LocalTileCatalog(spark, local_path)
