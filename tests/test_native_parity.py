@@ -82,6 +82,69 @@ def test_native_disable_env(monkeypatch):
     monkeypatch.setattr(native, "_tried", False)
 
 
+def test_repair_corners_c_equals_python():
+    """The lazy per-center C corner repair must mutate the raster
+    bit-identically to the Python full-plane implementation on every
+    grid class (sparse rasters stress the wide Bresenham search)."""
+    for name, grid, ndv in _grids():
+        gp = Grid(grid.z.copy(), grid.xpos, grid.ypos, grid.cellsize, grid.ndv)
+        gn = Grid(grid.z.copy(), grid.xpos, grid.ypos, grid.cellsize, grid.ndv)
+        native._repair_corners(gp)
+        lib = native.get_lib()
+        import ctypes
+
+        h, w = gn.z.shape
+        lib.tin_repair_corners(
+            native._ptr(gn.z, ctypes.c_double), h, w, float(gn.ndv)
+        )
+        assert np.array_equal(gp.z, gn.z, equal_nan=True), name
+        # repaired corners must also be bit-sign-identical
+        for r, c in ((0, 0), (h - 1, 0), (h - 1, w - 1), (0, w - 1)):
+            assert np.signbit(gp.z[r, c]) == np.signbit(gn.z[r, c]), name
+
+
+def _clip_soups():
+    from tin_terrain_spark.kernels.dense import generate_tin_dense_quadwalk
+    from tin_terrain_spark.kernels.terra import generate_tin_terra
+
+    rng = np.random.RandomState(5)
+    # random soups straddling the unit square at several scales
+    for scale, shift in ((1.4, -0.2), (3.0, -1.0), (0.5, 0.3)):
+        yield f"random_{scale}", rng.rand(80, 3, 3) * scale + shift
+    # a real mesh in buffered-tile unit space (vertices exactly on the
+    # 0/1 lines and outside: the production shape)
+    z = np.cumsum(rng.rand(36, 36) - 0.5, axis=0) * 5
+    verts, faces = generate_tin_terra(Grid(z.copy()), 1.0)
+    tris = verts[faces]
+    unit = tris.copy()
+    unit[:, :, 0] = unit[:, :, 0] / 31.0 - 0.0645
+    unit[:, :, 1] = unit[:, :, 1] / 31.0 - 0.0645
+    yield "mesh_buffered", unit
+    # exact on-line vertices (x or y exactly 0/1) hit the sign==0 rules
+    t = np.array(
+        [
+            [[0.0, 0.5, 1.0], [0.5, 0.5, 2.0], [0.5, 0.0, 3.0]],
+            [[1.0, 1.0, 1.0], [0.2, 0.8, 2.0], [1.0, 0.2, 3.0]],
+            [[-0.5, 0.5, 1.0], [1.5, 0.5, 2.0], [0.5, 1.5, 3.0]],  # split-quad
+            [[2.0, 2.0, 0.0], [3.0, 2.0, 0.0], [2.0, 3.0, 0.0]],   # fully out
+            [[np.nan, 0.5, 1.0], [0.5, 0.5, 2.0], [0.5, 0.0, 3.0]],  # nan tri
+        ]
+    )
+    yield "edge_rules", t
+    yield "empty", np.zeros((0, 3, 3))
+
+
+def test_clip01_c_equals_python():
+    from tin_terrain_spark.kernels.geometry import clip_triangles_to_01_quadrant
+
+    for name, soup in _clip_soups():
+        py = clip_triangles_to_01_quadrant(soup.copy(), force_python=True)
+        cc = native.clip01_native(soup.copy())
+        assert cc is not None, name
+        assert py.shape == cc.shape, (name, py.shape, cc.shape)
+        assert py.tobytes() == cc.tobytes(), name  # byte parity incl. -0.0
+
+
 def test_max_error_sweep_equality():
     """Insertion order is error-threshold dependent; sweep thresholds."""
     rng = np.random.RandomState(3)

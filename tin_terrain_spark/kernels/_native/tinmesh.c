@@ -792,3 +792,319 @@ int64_t tin_zemlya_greedy(const double *z, const double *insert_stack,
     *n_pts_out = np;
     return nf;
 }
+
+/* ------------------------------------------------------------------ */
+/* corner repair (kernels/raster.py:_subsample_3x3_full +              */
+/* sample_nearest_valid_avg + kernels/native.py:_repair_corners)       */
+/*                                                                     */
+/* The Python path precomputes the whole (h+2, w+2) subsample plane    */
+/* and invalidates it on bit-level corner change; evaluating the SAME  */
+/* per-center arithmetic lazily against the live raster is value-      */
+/* identical in both the reused and recomputed cases (elementwise ops  */
+/* have no cross-element interaction) and skips the O(h*w) plane on    */
+/* every tile. Summation orders below mirror np.nansum's sequential    */
+/* reduce over the stacked arrays (lengths 4 and 6: no pairwise).      */
+/* ------------------------------------------------------------------ */
+
+#define MAX_AVERAGING_SAMPLES 64
+
+static inline double cell_or_nan(const double *z, int h, int w, double ndv,
+                                 int ndv_is_nan, int r, int c) {
+    if (r < 0 || r >= h || c < 0 || c >= w) return NAN;
+    double v = z[(size_t)r * w + c];
+    if (!ndv_is_nan && v == ndv) return NAN;
+    return v;
+}
+
+/* weighted 3x3 subsample at center (r, c), r in [-1, h], c in [-1, w]:
+ * center x3, cross-avg x2, diag-avg x1, NaN-aware. Matches the Python
+ * plane elementwise: cross order top,left,right,bottom; diag order
+ * tl,tr,bl,br; stack order c,c,c,cross,cross,diag. */
+static double subsample3x3(const double *z, int h, int w, double ndv,
+                           int ndv_is_nan, int r, int c) {
+    double ctr = cell_or_nan(z, h, w, ndv, ndv_is_nan, r, c);
+    double t = cell_or_nan(z, h, w, ndv, ndv_is_nan, r - 1, c);
+    double l = cell_or_nan(z, h, w, ndv, ndv_is_nan, r, c - 1);
+    double rt = cell_or_nan(z, h, w, ndv, ndv_is_nan, r, c + 1);
+    double b = cell_or_nan(z, h, w, ndv, ndv_is_nan, r + 1, c);
+    double tl = cell_or_nan(z, h, w, ndv, ndv_is_nan, r - 1, c - 1);
+    double tr = cell_or_nan(z, h, w, ndv, ndv_is_nan, r - 1, c + 1);
+    double bl = cell_or_nan(z, h, w, ndv, ndv_is_nan, r + 1, c - 1);
+    double br = cell_or_nan(z, h, w, ndv, ndv_is_nan, r + 1, c + 1);
+
+    int cross_cnt = !isnan(t) + !isnan(l) + !isnan(rt) + !isnan(b);
+    double cross_sum = (((isnan(t) ? 0.0 : t) + (isnan(l) ? 0.0 : l))
+                        + (isnan(rt) ? 0.0 : rt)) + (isnan(b) ? 0.0 : b);
+    double cross_avg = cross_cnt > 0 ? cross_sum / (double)cross_cnt : NAN;
+
+    int diag_cnt = !isnan(tl) + !isnan(tr) + !isnan(bl) + !isnan(br);
+    double diag_sum = (((isnan(tl) ? 0.0 : tl) + (isnan(tr) ? 0.0 : tr))
+                       + (isnan(bl) ? 0.0 : bl)) + (isnan(br) ? 0.0 : br);
+    double diag_avg = diag_cnt > 0 ? diag_sum / (double)diag_cnt : NAN;
+
+    double c0 = isnan(ctr) ? 0.0 : ctr;
+    double x0 = isnan(cross_avg) ? 0.0 : cross_avg;
+    double d0 = isnan(diag_avg) ? 0.0 : diag_avg;
+    int cnt = 3 * !isnan(ctr) + 2 * !isnan(cross_avg) + !isnan(diag_avg);
+    if (cnt == 0) return NAN;
+    return (((((c0 + c0) + c0) + x0) + x0) + d0) / (double)cnt;
+}
+
+/* expanding Bresenham-circle nearest-valid average at (row, col):
+ * raster_tools.cpp:343-427 semantics via the Python port's exact
+ * putpixel order, sample cap, and mean arithmetic. */
+static double nearest_valid_avg(const double *z, int h, int w, double ndv,
+                                int ndv_is_nan, int row, int col) {
+    if (row >= 0 && row < h && col >= 0 && col < w) {
+        double v = z[(size_t)row * w + col];
+        if (!(isnan(v) || (!ndv_is_nan && v == ndv))) return v;
+    }
+    int max_radius = (int)sqrt((double)(w * w + h * h));
+    double samples[MAX_AVERAGING_SAMPLES];
+    int ns = 0;
+    for (int radius = 2; radius <= max_radius && ns < 1; radius++) {
+        int x = radius - 1, y = 0;
+        int dx = 1, dy = 1;
+        int err = dx - (radius / 2);
+        while (x >= y) {
+            int offs[8][2] = {{x, y},  {y, x},  {-y, x},  {-x, y},
+                              {-x, -y}, {-y, -x}, {y, -x},  {x, -y}};
+            for (int i = 0; i < 8; i++) {
+                int rr = row + offs[i][1];
+                int cc = col + offs[i][0];
+                if (rr < -1 || rr > h || cc < -1 || cc > w) continue;
+                double v = subsample3x3(z, h, w, ndv, ndv_is_nan, rr, cc);
+                if (isnan(v) || (!ndv_is_nan && v == ndv)) continue;
+                if (ns >= MAX_AVERAGING_SAMPLES) break;
+                samples[ns++] = v;
+            }
+            if (err <= 0) {
+                y += 1;
+                err += dy;
+                dy += 2;
+            } else {
+                x -= 1;
+                dx += 2;
+                err += dx - (radius / 2);
+            }
+        }
+    }
+    if (ns == 0) return NAN;
+    if (ns == 1) return samples[0];
+    double s = 0.0;
+    for (int i = 0; i < ns; i++) s += samples[i];
+    return s / (double)ns;
+}
+
+/* TerraUtils corner repair against the LIVE raster, in the Python
+ * path's corner order TL, BL, BR, TR (kernels/native.py:_repair_corners;
+ * lazy per-center evaluation replaces the plane+invalidate dance with
+ * identical values). */
+void tin_repair_corners(double *z, int h, int w, double ndv) {
+    int ndv_is_nan = isnan(ndv);
+    int corners[4][2] = {{0, 0}, {h - 1, 0}, {h - 1, w - 1}, {0, w - 1}};
+    for (int i = 0; i < 4; i++) {
+        int row = corners[i][0], col = corners[i][1];
+        double v = nearest_valid_avg(z, h, w, ndv, ndv_is_nan, row, col);
+        z[(size_t)row * w + col] =
+            (isnan(v) || (!ndv_is_nan && v == ndv)) ? 0.0 : v;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* triangle clip to the unit square (kernels/geometry.py:              */
+/* clip_triangle_by_line + clip_triangles_to_01_quadrant)              */
+/* ------------------------------------------------------------------ */
+
+#define CLIP_EPS 1e-9
+
+typedef struct {
+    double v[3][3]; /* 3 vertices x (x, y, z) */
+} Tri;
+
+/* half-plane sign vs directed axis-aligned line (geometry.py:sign_2d;
+ * the four clip lines are all axis-aligned, generic branch kept for
+ * parity anyway) */
+static int sign2d(double px, double py, double ox, double oy, double dx,
+                  double dy) {
+    if (dx == 0.0) {
+        int ds = dy > 0.0 ? -1 : 1;
+        if (px < ox) return ds;
+        if (px > ox) return -ds;
+        return 0;
+    }
+    if (dy == 0.0) {
+        int ds = dx > 0.0 ? -1 : 1;
+        if (py < oy) return -ds;
+        if (py > oy) return ds;
+        return 0;
+    }
+    double d = (px - ox) * dy - (py - oy) * dx;
+    if (d < CLIP_EPS) return -1;
+    if (d > CLIP_EPS) return 1;
+    return 0;
+}
+
+/* 2.5D segment x line intersection with z interpolation
+ * (geometry.py:intersect_25d_segment_line; identical expression order,
+ * + 0.0 to normalize -0.0 exactly as the Python does) */
+static void isect25(const double *p0, const double *p1, double ox, double oy,
+                    double dx, double dy, double *out) {
+    double x1 = p0[0], y1 = p0[1];
+    double x2 = p1[0], y2 = p1[1];
+    double x3 = ox, y3 = oy;
+    double x4 = ox + dx, y4 = oy + dy;
+    double denom = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4);
+    if (fabs(denom) < CLIP_EPS) {
+        out[0] = out[1] = out[2] = NAN;
+        return;
+    }
+    double cx = ((x1 * y2 - y1 * x2) * (x3 - x4) - (x1 - x2) * (x3 * y4 - y3 * x4)) / denom;
+    double cy = ((x1 * y2 - y1 * x2) * (y3 - y4) - (y1 - y2) * (x3 * y4 - y3 * x4)) / denom;
+    double d_p0p1 = hypot(x2 - x1, y2 - y1);
+    double m = (p1[2] - p0[2]) / d_p0p1;
+    double d_p0c = hypot(cx - x1, cy - y1);
+    if (d_p0c < -CLIP_EPS || d_p0c > d_p0p1 + CLIP_EPS) {
+        out[0] = out[1] = out[2] = NAN;
+        return;
+    }
+    out[0] = cx + 0.0;
+    out[1] = cy + 0.0;
+    out[2] = m * d_p0c + p0[2] + 0.0;
+}
+
+static int front_facing(const Tri *t) {
+    double nz = (t->v[0][0] - t->v[1][0]) * (t->v[0][1] - t->v[2][1]) -
+                (t->v[0][0] - t->v[2][0]) * (t->v[0][1] - t->v[1][1]);
+    return nz >= 0.0; /* NaN -> false, as in Python */
+}
+
+static void make_front_facing(Tri *t) {
+    if (!front_facing(t)) {
+        double tmp[3];
+        memcpy(tmp, t->v[0], sizeof tmp);
+        memcpy(t->v[0], t->v[1], sizeof tmp);
+        memcpy(t->v[1], tmp, sizeof tmp);
+    }
+}
+
+static double sq_dist3(const double *a, const double *b) {
+    double d0 = a[0] - b[0], d1 = a[1] - b[1], d2 = a[2] - b[2];
+    return d0 * d0 + d1 * d1 + d2 * d2;
+}
+
+static int tri_has_nan(const Tri *t) {
+    for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 3; j++)
+            if (isnan(t->v[i][j])) return 1;
+    return 0;
+}
+
+/* clip tv[idx] by a directed line in place; may append ONE triangle
+ * (*n_tv incremented). Caller guarantees capacity. */
+static void clip_tri_by_line(Tri *tv, int64_t idx, int64_t *n_tv, double ox,
+                             double oy, double dx, double dy) {
+    Tri *t = &tv[idx];
+    if (tri_has_nan(t)) return;
+
+    double left[3][3], other[3][3];
+    int other_signs[3];
+    int nl = 0, no = 0;
+    for (int i = 0; i < 3; i++) {
+        int d = sign2d(t->v[i][0], t->v[i][1], ox, oy, dx, dy);
+        if (d < 0) {
+            memcpy(left[nl++], t->v[i], sizeof t->v[i]);
+        } else {
+            memcpy(other[no], t->v[i], sizeof t->v[i]);
+            other_signs[no++] = d;
+        }
+    }
+
+    if (nl == 0) {
+        t->v[0][0] = t->v[0][1] = t->v[0][2] = NAN;
+    } else if (nl == 1) {
+        double s0[3], s1[3];
+        if (other_signs[0] == 0) memcpy(s0, other[0], sizeof s0);
+        else isect25(left[0], other[0], ox, oy, dx, dy, s0);
+        if (other_signs[1] == 0) memcpy(s1, other[1], sizeof s1);
+        else isect25(left[0], other[1], ox, oy, dx, dy, s1);
+        memcpy(t->v[0], left[0], sizeof s0);
+        memcpy(t->v[1], s0, sizeof s0);
+        memcpy(t->v[2], s1, sizeof s1);
+        make_front_facing(t);
+    } else if (nl == 2) {
+        if (other_signs[0] == 0) return;
+        double s0[3], s1[3];
+        isect25(other[0], left[0], ox, oy, dx, dy, s0);
+        isect25(other[0], left[1], ox, oy, dx, dy, s1);
+        double d0 = sq_dist3(s0, left[1]);
+        double d1 = sq_dist3(s1, left[0]);
+        int cmp_ge = d0 >= d1;
+        memcpy(t->v[0], cmp_ge ? s1 : s0, sizeof s0);
+        memcpy(t->v[1], left[0], sizeof s0);
+        memcpy(t->v[2], left[1], sizeof s0);
+        make_front_facing(t);
+        Tri *nt = &tv[(*n_tv)++];
+        memcpy(nt->v[0], s1, sizeof s1);
+        memcpy(nt->v[1], s0, sizeof s0);
+        memcpy(nt->v[2], cmp_ge ? left[0] : left[1], sizeof s0);
+        make_front_facing(nt);
+    }
+    /* nl == 3: fully inside, unchanged */
+}
+
+/* clip a triangle soup to [0,1]^2. tris: n x 3 x 3 doubles. out must
+ * hold cap triangles; returns m, or -1 when cap would overflow.
+ * Output order matches the Python wrapper exactly: strictly-inside
+ * triangles first (original order), then clip survivors in working-
+ * list order (appends last, per line pass). */
+int64_t tin_clip01(const double *tris, int64_t n, double *out, int64_t cap) {
+    static const double lines[4][4] = {
+        {0.0, 0.0, 1.0, 0.0},   /* bottom, right-wards */
+        {1.0, 0.0, 0.0, 1.0},   /* right, upwards */
+        {1.0, 1.0, -1.0, 0.0},  /* top, left-wards */
+        {0.0, 1.0, 0.0, -1.0},  /* left, downwards */
+    };
+    if (n == 0) return 0;
+
+    int64_t m = 0;       /* triangles written to out */
+    int64_t n_rest = 0;
+    /* worst case growth: one append per triangle per line pass */
+    int64_t cap_tv = 16 * n + 8;
+    Tri *tv = (Tri *)malloc((size_t)cap_tv * sizeof(Tri));
+    if (!tv) return -1;
+
+    for (int64_t i = 0; i < n; i++) {
+        const double *t = tris + i * 9;
+        int inside = 1;
+        for (int vi = 0; vi < 3 && inside; vi++) {
+            double x = t[vi * 3 + 0], y = t[vi * 3 + 1];
+            if (!(x > 0.0 && x < 1.0 && y > 0.0 && y < 1.0)) inside = 0;
+        }
+        if (inside) {
+            if (m >= cap) { free(tv); return -1; }
+            memcpy(out + m * 9, t, 9 * sizeof(double));
+            m++;
+        } else {
+            memcpy(&tv[n_rest++], t, sizeof(Tri));
+        }
+    }
+
+    for (int li = 0; li < 4; li++) {
+        int64_t len_at_start = n_rest;
+        for (int64_t i = 0; i < len_at_start; i++) {
+            if (n_rest >= cap_tv) { free(tv); return -1; }
+            clip_tri_by_line(tv, i, &n_rest, lines[li][0], lines[li][1],
+                             lines[li][2], lines[li][3]);
+        }
+    }
+
+    for (int64_t i = 0; i < n_rest; i++) {
+        if (tri_has_nan(&tv[i])) continue;
+        if (m >= cap) { free(tv); return -1; }
+        memcpy(out + m * 9, &tv[i], 9 * sizeof(double));
+        m++;
+    }
+    free(tv);
+    return m;
+}

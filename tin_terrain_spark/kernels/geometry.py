@@ -203,7 +203,8 @@ def clip_triangle_by_line(tv: list, idx: int, l_org, l_dir) -> None:
         tv.append(t_new)
 
 
-def clip_triangles_to_01_quadrant(triangles: np.ndarray) -> np.ndarray:
+def clip_triangles_to_01_quadrant(triangles: np.ndarray,
+                                  force_python: bool = False) -> np.ndarray:
     """Clip a triangle soup to the unit square [0,1]² — four sequential
     line clips (bottom, right, top, left) then NaN purge
     (geometrix.cpp:739-781).
@@ -223,6 +224,16 @@ def clip_triangles_to_01_quadrant(triangles: np.ndarray) -> np.ndarray:
     inside = ((xy > 0.0) & (xy < 1.0)).all(axis=(1, 2))
     if inside.all():
         return triangles
+    # C fast path (same algorithm, same order; byte-parity asserted in
+    # tests/test_native_parity.py); this Python loop is the oracle and
+    # the no-toolchain fallback. force_python exists for that parity
+    # test.
+    if not force_python:
+        from . import native
+
+        fast = native.clip01_native(triangles)
+        if fast is not None:
+            return fast
     kept = triangles[inside]
     rest = triangles[~inside]
     tv = [[tuple(v) for v in tri] for tri in rest]

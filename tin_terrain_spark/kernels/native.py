@@ -118,6 +118,10 @@ def _build_and_load():
         P(dbl), P(ctypes.c_uint8), P(i64),
         P(ctypes.c_int32), i64, P(dbl), i64, P(i64),
     ]
+    lib.tin_repair_corners.restype = None
+    lib.tin_repair_corners.argtypes = [P(dbl), ctypes.c_int, ctypes.c_int, dbl]
+    lib.tin_clip01.restype = i64
+    lib.tin_clip01.argtypes = [P(dbl), i64, P(dbl), i64]
     return lib
 
 
@@ -195,6 +199,41 @@ def _repair_corners(grid) -> None:
             plane = None
 
 
+def repair_corners_dispatch(grid) -> None:
+    """Corner repair via the C path when available (lazy per-center
+    subsample against the live raster — value-identical to the Python
+    plane, asserted in tests/test_native_parity.py), else the Python
+    plane implementation."""
+    lib = get_lib()
+    h, w = grid.z.shape
+    if lib is not None and grid.z.dtype == np.float64 and grid.z.flags.c_contiguous:
+        lib.tin_repair_corners(
+            _ptr(grid.z, ctypes.c_double), h, w, float(grid.ndv)
+        )
+        return
+    _repair_corners(grid)
+
+
+def clip01_native(triangles: np.ndarray):
+    """C fast path for clip_triangles_to_01_quadrant: same sequential
+    algorithm, same output ORDER (strictly-inside first, then clip
+    survivors). Returns the clipped (m, 3, 3) array or None when the
+    native library is unavailable / capacity overflowed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(triangles, dtype=np.float64)
+    n = len(tris)
+    cap = 16 * n + 8
+    out = np.empty((cap, 3, 3), dtype=np.float64)
+    m = lib.tin_clip01(
+        _ptr(tris, ctypes.c_double), n, _ptr(out, ctypes.c_double), cap
+    )
+    if m < 0:
+        return None
+    return out[:m]
+
+
 def _snapshot_corners(grid):
     """Bit-exact copies of the 4 corner cells, taken BEFORE
     _repair_corners: corner repair is not idempotent (a repaired corner
@@ -221,7 +260,7 @@ def terra_native(grid, max_error: float):
     if h < 2 or w < 2:
         return None
     corner_snap = _snapshot_corners(grid)
-    _repair_corners(grid)
+    repair_corners_dispatch(grid)
     z = np.ascontiguousarray(grid.z, dtype=np.float64)
     used = np.zeros((h, w), dtype=np.uint8)
     token = np.zeros((h, w), dtype=np.int64)
@@ -261,7 +300,7 @@ def zemlya_native(grid, max_error: float):
     zm = ZemlyaMesh(grid)
     zm.build_pyramid()  # pre-repair raster, as in greedy_insert
     corner_snap = _snapshot_corners(grid)
-    _repair_corners(grid)
+    repair_corners_dispatch(grid)
 
     result = np.full((h, w), np.nan)
     z = grid.z
