@@ -54,6 +54,7 @@ def bench_queries():
         "knn_ring": ("join", QE.QUERIES_EXT["knn_ring"]),
         "knn_hex": ("join", QE.QUERIES_EXT["knn_hex"]),
         "hex_cells": ("relational", QE.QUERIES_EXT["hex_cells"]),
+        "h3_cells": ("relational", QE.QUERIES_EXT["h3_cells"]),
         "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
         "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
         "near_dup_pairs": ("dedup", QE.QUERIES_EXT["near_dup_pairs"]),

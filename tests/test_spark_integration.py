@@ -172,7 +172,7 @@ def test_with_h3_id_packs_axial(spark, points):
         h = r["h3_id"] & 0xFFFFFFFFFFFFFFFF  # BIGINT carrier -> uint64 bits
         assert h3_is_valid(h)
         f = unpack_h3(h)
-        assert f["res"] == 15 and f["base_cell"] == SHIM_BASE_CELL
+        assert f["res"] == 10 and f["base_cell"] == SHIM_BASE_CELL
         assert axial_from_h3(h) == (r["hex_q"], r["hex_r"])
 
 

@@ -302,25 +302,132 @@ def h3_from_axial_np(q: np.ndarray, r: np.ndarray, res: int = _MAX_RES,
     return h.astype(np.int64)  # BIGINT column carrier; bit pattern preserved
 
 
+# --- SQL twin of the aperture-7 walk ----------------------------------
+#
+# The whole encode is integer algebra, so it compiles to plain Column
+# expressions that run IDENTICALLY in Spark SQL and DuckDB — JVM-side
+# (no UDF) on the engine, independently recomputable by the oracle:
+#   - normalize(i,j,k) is the unique normal form x - min(x)
+#     (the Python/C sequential negative-removal reaches the same form)
+#   - round-half-away(n/7) via FLOOR on exactly-representable doubles
+#     (|n| < 2^40 here; FLOOR-then-CAST per the DuckDB/Spark cast trap)
+#   - every step's (i, j, k, digit) is materialized as a real column —
+#     textual inlining would blow up the expression tree exponentially
+#
+# Step columns for resolution r: _h3i{r}, _h3j{r}, _h3k{r} hold the
+# PARENT cell after the step; _h3d{r} the digit.
+
+
+def _rha_sql(n: str) -> str:
+    """round-half-away((n)/7) for integer-valued n (ties impossible:
+    den 7 is odd); branch numerators are non-negative so FLOOR == the
+    intended integer division in both engines."""
+    return (
+        f"CASE WHEN ({n}) >= 0 THEN CAST(FLOOR((2 * ({n}) + 7) / 1.4e1) AS BIGINT) "
+        f"ELSE -CAST(FLOOR((-2 * ({n}) + 7) / 1.4e1) AS BIGINT) END"
+    )
+
+
+def h3_step_exprs(res: int, q_col: str = "hex_q", r_col: str = "hex_r"):
+    """Ordered (column_name, sql_expr) pairs computing the aperture-7
+    digit walk from axial (q_col, r_col) down to resolution 0, then the
+    packed id as column `h3_id` (NULL when the coordinate needs more
+    than `res` digit levels — loud, never aliased)."""
+    cols: list[tuple[str, str]] = []
+    # axial -> normalized IJK (k = 0): m = least(q, r, 0)
+    m0 = f"LEAST({q_col}, {r_col}, 0)"
+    cols.append((f"_h3i{res}", f"CAST(({q_col}) - {m0} AS BIGINT)"))
+    cols.append((f"_h3j{res}", f"CAST(({r_col}) - {m0} AS BIGINT)"))
+    cols.append((f"_h3k{res}", f"CAST(0 - {m0} AS BIGINT)"))
+    for rr in range(res, 0, -1):
+        i, j, k = f"_h3i{rr}", f"_h3j{rr}", f"_h3k{rr}"
+        di = f"(({i}) - ({k}))"
+        dj = f"(({j}) - ({k}))"
+        if rr % 2 == 1:  # class III: _upAp7 / _downAp7
+            ui_raw = _rha_sql(f"3 * {di} - {dj}")
+            uj_raw = _rha_sql(f"{di} + 2 * {dj}")
+        else:  # class II: _upAp7r / _downAp7r
+            ui_raw = _rha_sql(f"2 * {di} + {dj}")
+            uj_raw = _rha_sql(f"3 * {dj} - {di}")
+        cols.append((f"_h3ui{rr}", ui_raw))
+        cols.append((f"_h3uj{rr}", uj_raw))
+        um = f"LEAST(_h3ui{rr}, _h3uj{rr}, 0)"
+        pi, pj, pk = f"_h3i{rr - 1}", f"_h3j{rr - 1}", f"_h3k{rr - 1}"
+        cols.append((pi, f"_h3ui{rr} - {um}"))
+        cols.append((pj, f"_h3uj{rr} - {um}"))
+        cols.append((pk, f"0 - {um}"))
+        if rr % 2 == 1:
+            ci = f"(3 * {pi} + {pj})"
+            cj = f"(3 * {pj} + {pk})"
+            ck = f"({pi} + 3 * {pk})"
+        else:
+            ci = f"(3 * {pi} + {pk})"
+            cj = f"({pi} + 3 * {pj})"
+            ck = f"({pj} + 3 * {pk})"
+        cm = f"LEAST({ci}, {cj}, {ck})"
+        cols.append((f"_h3ci{rr}", f"{ci} - {cm}"))
+        cols.append((f"_h3cj{rr}", f"{cj} - {cm}"))
+        cols.append((f"_h3ck{rr}", f"{ck} - {cm}"))
+        dm = (
+            f"LEAST(({i}) - _h3ci{rr}, ({j}) - _h3cj{rr}, ({k}) - _h3ck{rr})"
+        )
+        cols.append(
+            (
+                f"_h3d{rr}",
+                f"4 * ((({i}) - _h3ci{rr}) - {dm}) + 2 * ((({j}) - _h3cj{rr}) - {dm})"
+                f" + ((({k}) - _h3ck{rr}) - {dm})",
+            )
+        )
+    header = (MODE_CELL << _MODE_OFFSET) | (res << _RES_OFFSET) | (
+        SHIM_BASE_CELL << _BC_OFFSET
+    )
+    for rr in range(res + 1, _MAX_RES + 1):
+        header |= 7 << (3 * (_MAX_RES - rr))
+    digit_sum = " + ".join(
+        f"_h3d{rr} * {1 << (3 * (_MAX_RES - rr))}" for rr in range(1, res + 1)
+    )
+    cols.append(
+        (
+            "h3_id",
+            f"CASE WHEN _h3i0 = 0 AND _h3j0 = 0 AND _h3k0 = 0 "
+            f"THEN CAST({header} AS BIGINT) + ({digit_sum}) ELSE NULL END",
+        )
+    )
+    return cols
+
+
+_H3_TMP = "_h3"
+
+
 def with_h3_id(df, size: float, x: str = "x", y: str = "y",
-               res: int = _MAX_RES, out_col: str = "h3_id"):
+               res: int = 10, out_col: str = "h3_id"):
     """DataFrame helper: axial cells (hexgrid.with_hex_cell) packed to
-    H3-layout ids via an Arrow-batched pandas_udf. The id is a
-    BIGINT whose bits are the H3 index (cast to uint64 / hex-format
-    for interop)."""
-    import pandas as pd
+    H3-layout ids with pure Column expressions (JVM-side, no UDF; the
+    same generated SQL is the DuckDB oracle twin). Default res 10
+    addresses ~282M cells around the origin — far beyond any hex grid
+    this engine derives; out-of-range packs to NULL, never a wrong id."""
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
     from . import hexgrid as HG
 
-    def _pack_batch(hq, hr):
-        return pd.Series(h3_from_axial_np(hq.to_numpy(), hr.to_numpy(), res=res))
+    out = HG.with_hex_cell(df, size, x=x, y=y)
+    for name, expr in h3_step_exprs(res):
+        out = out.withColumn(name, F.expr(expr))
+    keep = [c for c in out.columns if not c.startswith(_H3_TMP) or c == "h3_id"]
+    out = out.select(*keep)
+    if out_col != "h3_id":
+        out = out.withColumnRenamed("h3_id", out_col)
+    return out
 
-    # explicit Series->Series signature (type hints would be resolved
-    # against module globals, where pandas isn't imported)
-    _pack_batch.__annotations__ = {"hq": pd.Series, "hr": pd.Series, "return": pd.Series}
-    _pack = pandas_udf(_pack_batch, "long")
 
-    hexed = HG.with_hex_cell(df, size, x=x, y=y)
-    return hexed.withColumn(out_col, _pack(F.col("hex_q"), F.col("hex_r")))
+def h3_id_subquery_sql(inner_sql: str, res: int = 10) -> str:
+    """DuckDB oracle twin of with_h3_id: wraps a subquery that already
+    has hex_q/hex_r (hexgrid.hex_cell_subquery_sql) in a nested-select
+    chain materializing each walk step, then drops the intermediate
+    _h3* columns."""
+    steps = h3_step_exprs(res)
+    sql = f"SELECT * FROM ({inner_sql})"
+    for name, expr in steps:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    tmp = ", ".join(name for name, _ in steps if name != "h3_id")
+    return f"SELECT * EXCLUDE ({tmp}) FROM ({sql})"

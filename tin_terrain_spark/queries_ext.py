@@ -128,6 +128,36 @@ def _sql_hex_cells() -> str:
     """
 
 
+def q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-H3-cell doc counts with REAL H3-layout ids (functions/
+    h3pack.py): the aperture-7 digit walk runs as pure Column integer
+    algebra (JVM-side, no UDF), and the id VALUES are hash-compared
+    against DuckDB recomputing the identical walk."""
+    from .functions import h3pack as H3
+
+    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    # res 7 spans ~823k cells (radius ~510) around the origin — the
+    # hex grid at HEX_SIZE reaches ~±150; fewer walk steps keep the
+    # staged plan small
+    packed = H3.with_h3_id(pts.select("doc_id", "x", "y"), HEX_SIZE, res=7)
+    return packed.groupBy("h3_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+def _sql_h3_cells() -> str:
+    from .functions import h3pack as H3
+    from .functions import hexgrid as HG
+
+    inner = HG.hex_cell_subquery_sql(f"SELECT doc_id, x, y FROM ({_points_sql()})", HEX_SIZE)
+    packed = H3.h3_id_subquery_sql(inner, res=7)
+    return f"""
+      SELECT h3_id, count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM ({packed})
+      GROUP BY h3_id
+    """
+
+
 # --------------------------------------------------------------------------
 # dedup family
 # --------------------------------------------------------------------------
@@ -478,6 +508,7 @@ QUERIES_EXT = {
     "knn_ring": q_knn_ring,
     "knn_hex": q_knn_hex,
     "hex_cells": q_hex_cells,
+    "h3_cells": q_h3_cells,
     "exact_dedup": q_exact_dedup,
     "minhash": q_minhash,
     "lsh_candidates": q_lsh_candidates,
@@ -508,6 +539,7 @@ ORACLES_EXT = {
     "knn_ring": SQL_KNN_BRUTE,  # the ring path must equal brute force
     "knn_hex": SQL_KNN_BRUTE,  # hex-ring expansion must equal brute force
     "hex_cells": _sql_hex_cells(),
+    "h3_cells": _sql_h3_cells(),
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash": SQL_MINHASH,
     "lsh_candidates": SQL_LSH_CANDIDATES,
