@@ -87,6 +87,8 @@ def bench_queries():
         "knn_brute": ("join", QE.QUERIES_EXT["knn_brute"]),
         "exact_dedup": ("dedup", QE.QUERIES_EXT["exact_dedup"]),
         "winnow": ("dedup", QE.QUERIES_EXT["winnow"]),
+        "contamination": ("dedup", QE.QUERIES_EXT["contamination"]),
+        "rep_signals": ("text", QE.QUERIES_EXT["rep_signals"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),
         "lang_profile": ("text", QE.QUERIES_EXT["lang_profile"]),
         "token_counts": ("text", QE.QUERIES_EXT["token_counts"]),

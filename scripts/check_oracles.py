@@ -29,7 +29,7 @@ def norm_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(repr(rows).encode()).hexdigest()
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str):
     import __spark_entry__ as E
     from tin_terrain_spark.session import get_spark
 
@@ -44,7 +44,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
     oracles = E.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if only and only != name:
+        if only and name not in only:
             continue
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()

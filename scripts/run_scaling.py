@@ -1,7 +1,7 @@
 """Scaling-efficiency evidence (BASELINE.md north rule).
 
 Runs the identical compute-bound job (bench.scaling_job: 512x-replicated
-pages → zoom-9 terra pyramid (262144 tiles) + zoom-7 cell-ring kNN +
+pages → zoom-10 terra pyramid (~1M tiles) + zoom-7 cell-ring kNN +
 cell aggregation over ~25.6M points) on the same input at two
 parallelism levels — local[2] (N) and local[8] (4N) — via spark-submit
 --py-files, and writes BENCH/BASELINE.md with throughput at both plus
@@ -42,7 +42,7 @@ for _ in range(3):
     spark.catalog.clearCache()
     t0 = time.time()
     tiles, knn_rows, agg_rows, phases = scaling_job(
-        spark, sf_dir, mult=512, zoom=9, grid_bits=5, knn_zoom=7, knn_grid_bits=5)
+        spark, sf_dir, mult=512, zoom=10, grid_bits=5, knn_zoom=7, knn_grid_bits=5)
     walls.append(round(time.time() - t0, 3))
     phs.append(phases)
 wall = min(walls)
@@ -120,7 +120,7 @@ def main():
             f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Identical compute-bound job (512x-replicated pages at {sf_dir} → ~25.6M
-points → zoom-9 terra tile pyramid (262144 tiles) + cell-ring kNN join +
+points → zoom-10 terra tile pyramid (~1M occupied tiles) + cell-ring kNN join +
 cell aggregation at zoom-7 cells), run at two parallelism levels
 N=local[2] and 4N=local[8], launched via `spark-submit --py-files` —
 the sandbox stand-in for N vs 4N executors. Each leg runs the job
@@ -128,7 +128,7 @@ three times in one session; min wall and per-phase mins are reported
 (same steady-state policy as bench.py's min-of-3 — this host's CPU
 steal swings identical single-shot runs by ±50%, see the raw `walls`
 arrays below and NOTES.md). (The job has been re-sized UP twice — to
-zoom 8 when the native mesh kernel landed, to zoom 9 when native
+zoom 8 when the native mesh kernel landed, to zoom 10 when native
 corner-repair/clip landed: after each per-tile speedup the measured
 job must be re-sized so it stays compute-bound, otherwise the 4x step
 measures per-job constants, not the ENGINE. At its design scale the

@@ -302,3 +302,70 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         for j in range(bits)
     )
     return votes.select("doc_id", F.expr(hash_expr).alias("simhash"))
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# --------------------------------------------------------------------------
+
+
+def contamination(docs: DataFrame, bench_mod: int = 97, n: int = 5,
+                  threshold: float = 0.2) -> DataFrame:
+    """Training-data decontamination: flag corpus docs whose n-gram
+    shingles overlap an evaluation-benchmark set (the standard
+    pre-training hygiene step — e.g. 13-gram overlap in GPT-3's data
+    card; n is a parameter here). The benchmark stand-in is the
+    deterministic slice doc_id % bench_mod == 0; a real benchmark
+    table joins in exactly the same shape.
+
+    Plan shape at 10^12 docs: the benchmark shingle set is tiny →
+    BROADCAST hash equi-join on the shingle string; the corpus side is
+    one scan + per-(doc, tok) dedup + per-doc count — both map-side
+    combinable. No cross join anywhere; the oracle recomputes the
+    identical rates in DuckDB.
+
+    Returns (doc_id, n_shingles, n_hits, contamination_rate,
+    contaminated) for every NON-benchmark doc, zero-hit docs included.
+    """
+    sh = shingles_df(docs, n=n)
+    bench = sh.filter(F.col("doc_id") % bench_mod == 0).select(
+        F.col("tok").alias("btok")
+    ).distinct()
+    corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), corpus["tok"] == bench["btok"], "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = totals.join(hits, "doc_id", "left").fillna({"n_hits": 0})
+    rate = F.round(F.col("n_hits") / F.col("n_shingles"), 6)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        rate.alias("contamination_rate"),
+        (rate >= threshold).alias("contaminated"),
+    )
+
+
+def sql_contamination(bench_mod: int = 97, n: int = 5,
+                      threshold: float = 0.2) -> str:
+    return f"""
+      WITH sh AS ({sql_shingles(n)}),
+      bench AS (SELECT DISTINCT tok FROM sh WHERE doc_id % {bench_mod} = 0),
+      corpus AS (SELECT doc_id, tok FROM sh WHERE doc_id % {bench_mod} <> 0),
+      totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+      hits AS (
+        SELECT c.doc_id, count(*) AS n_hits
+        FROM corpus c JOIN bench b ON c.tok = b.tok
+        GROUP BY c.doc_id
+      )
+      SELECT t.doc_id, t.n_shingles,
+             COALESCE(h.n_hits, 0) AS n_hits,
+             round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6)
+               AS contamination_rate,
+             round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_shingles, 6)
+               >= {threshold} AS contaminated
+      FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """

@@ -182,3 +182,74 @@ def sql_langid() -> str:
         FROM documents
       )
     """
+
+
+def rep_signals(docs: DataFrame) -> DataFrame:
+    """Token-level repetition signals (the Gopher quality-filter family
+    — Rae et al. 2021 §A1.1 uses line/ngram repetition fractions; this
+    corpus is single-line, so the token and 2-gram forms carry the
+    signal): distinct-token fraction, most-frequent-token fraction,
+    most-frequent-2-gram fraction. Two partial-aggregate passes joined
+    on doc_id — map-side combinable, no window over the whole corpus,
+    no UDF; scales like any word-count."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_agg = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(0, size(split(text, ' ')) - 2), "
+                "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i + 1])) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    bi_counts = bi.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bi_agg = bi_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    out = tok_agg.join(bi_agg, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_frac"),
+        F.round(F.col("top_tok") / F.col("n_tokens"), 6).alias("top_tok_frac"),
+        F.round(F.col("top_bigram") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+    )
+
+
+def sql_rep_signals() -> str:
+    return """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ),
+      tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      ta AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct, max(c) AS top_tok
+        FROM tc GROUP BY doc_id
+      ),
+      bi AS (
+        SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1]) AS bg
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        WHERE len(toks) >= 2
+      ),
+      bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+      ba AS (
+        SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram FROM bc GROUP BY doc_id
+      )
+      SELECT ta.doc_id, ta.n_tokens,
+             round(CAST(ta.n_distinct AS DOUBLE) / ta.n_tokens, 6) AS distinct_frac,
+             round(CAST(ta.top_tok AS DOUBLE) / ta.n_tokens, 6) AS top_tok_frac,
+             round(CAST(ba.top_bigram AS DOUBLE) / ba.n_bigrams, 6) AS top_bigram_frac
+      FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+    """

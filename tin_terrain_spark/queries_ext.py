@@ -749,6 +749,17 @@ SQL_PIP_CONVEX = f"""
 """
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram overlap of corpus docs against
+    the deterministic benchmark slice (doc_id % 97 == 0)."""
+    return D.contamination(_docs(spark, sf_dir))
+
+
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition/quality signals per doc."""
+    return T.rep_signals(_docs(spark, sf_dir))
+
+
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard refine over the LSH candidates (threshold 0.5)."""
     return D.near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -872,6 +883,15 @@ try:
 except KeyError:
     pass  # goldens.json not yet refrozen for this query
 
-QUERIES_EXT.update({"pip_convex": q_pip_convex, "near_dup_pairs": q_near_dup_pairs})
+QUERIES_EXT.update(
+    {
+        "pip_convex": q_pip_convex,
+        "near_dup_pairs": q_near_dup_pairs,
+        "contamination": q_contamination,
+        "rep_signals": q_rep_signals,
+    }
+)
+ORACLES_EXT["contamination"] = D.sql_contamination()
+ORACLES_EXT["rep_signals"] = T.sql_rep_signals()
 ORACLES_EXT["pip_convex"] = SQL_PIP_CONVEX
 ORACLES_EXT["near_dup_pairs"] = _sql_near_dup_pairs()
