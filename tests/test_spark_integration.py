@@ -239,6 +239,89 @@ def test_pipeline_resume(spark, tmp_path):
     assert read_manifest(out)[2]["n_tiles"] == m1[2]["n_tiles"]
 
 
+def test_pipeline_catalog_tile_resume(spark, tmp_path):
+    """Pipeline sink through the TileCatalog: resume is TILE-granular —
+    pre-merged keys are anti-joined out of the work grid and NOT
+    recomputed (their rows survive untouched), missing tiles are
+    meshed and merged in."""
+    import pyspark.sql.functions as F
+
+    from tin_terrain_spark.pipeline.dem2tintiles import build_tile_pyramid
+    from tin_terrain_spark.sources.iceberg import LocalTileCatalog
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # full build through the catalog
+    cat = LocalTileCatalog(spark, str(tmp_path / "cat"))
+    m = build_tile_pyramid(
+        spark, docs, str(tmp_path / "o1"), min_zoom=2, max_zoom=2,
+        method="dense", catalog=cat,
+    )
+    full = cat.read().where("zoom = 2")
+    n_full = full.count()
+    assert n_full == m[2]["n_tiles"] > 4
+
+    # new catalog pre-seeded with a sentinel row for one real tile key:
+    # the pipeline must SKIP that tile (anti-join), so the sentinel
+    # survives and every other tile matches the full build
+    k = full.select("tile_x", "tile_y").orderBy("tile_x", "tile_y").first()
+    cat2 = LocalTileCatalog(spark, str(tmp_path / "cat2"))
+    sentinel = (
+        full.filter(
+            (F.col("tile_x") == k["tile_x"]) & (F.col("tile_y") == k["tile_y"])
+        )
+        .withColumn("n_points", F.lit(-777).cast("long"))
+    )
+    cat2.merge(sentinel)
+    build_tile_pyramid(
+        spark, docs, str(tmp_path / "o2"), min_zoom=2, max_zoom=2,
+        method="dense", catalog=cat2,
+    )
+    got = cat2.read().where("zoom = 2")
+    assert got.count() == n_full
+    kept = got.filter(
+        (F.col("tile_x") == k["tile_x"]) & (F.col("tile_y") == k["tile_y"])
+    ).first()
+    assert kept["n_points"] == -777  # skipped, not recomputed
+
+
+def test_asc_xyz_spark_sources(spark, tmp_path):
+    """ASC and XYZ granules ingest distributed (binaryFile → cells) and
+    feed the same tile pipeline as GeoTIFF."""
+    import numpy as np
+
+    from tin_terrain_spark.kernels.meshio import format_asc
+    from tin_terrain_spark.kernels.raster import Grid
+    from tin_terrain_spark.operators.meshing import mesh_tiles
+    from tin_terrain_spark.sources.geotiff import assign_tile_keys
+    from tin_terrain_spark.sources.textgrids import asc_cells, xyz_cells
+
+    rng = np.random.RandomState(4)
+    z = rng.rand(8, 8) * 50
+    z[0, 0] = -99999.0  # nodata dropped at source
+    g = Grid(z.copy(), xpos=100.0, ypos=200.0, cellsize=10.0, ndv=-99999.0)
+    (tmp_path / "a.asc").write_text(format_asc(g))
+    cells = asc_cells(spark, str(tmp_path / "a.asc"))
+    rows = cells.collect()
+    assert len(rows) == 63  # 64 - nodata
+    assert all(r["z"] != -99999.0 for r in rows)
+
+    (tmp_path / "p.xyz").write_text(
+        "1 2 3\n4 5 6\nbad line\n7 8 99999\n10 11 12\n"
+    )
+    pts = xyz_cells(spark, str(tmp_path / "p.xyz"))
+    got = sorted((r["x"], r["y"], r["z"]) for r in pts.collect())
+    assert got == [(1.0, 2.0, 3.0), (4.0, 5.0, 6.0), (10.0, 11.0, 12.0)]
+
+    # e2e: keys + mesh on the asc cells (world coords are tiny, all in
+    # one tile at zoom 0)
+    keyed = assign_tile_keys(cells, zoom=0, grid_bits=3)
+    tiles = mesh_tiles(keyed, zoom=0, grid_bits=3, method="dense", step=2,
+                       buffer_cells=0)
+    t = tiles.collect()
+    assert len(t) >= 1 and all(r["n_faces"] > 0 for r in t)
+
+
 def test_streaming_windowed_counts(spark):
     from tin_terrain_spark.streaming.events import stream_windowed_counts
 

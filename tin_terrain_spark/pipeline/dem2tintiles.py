@@ -64,8 +64,17 @@ def build_tile_pyramid(
     max_error: float | None = None,
     resume: bool = True,
     id_col: str = "doc_id",
+    catalog=None,
 ) -> dict[int, dict]:
-    """Run the pyramid; returns the manifest (zoom → stats)."""
+    """Run the pyramid; returns the manifest (zoom → stats).
+
+    With `catalog` (a sources.iceberg.TileCatalog — Iceberg MERGE on a
+    cluster, LocalTileCatalog locally), the sink is the catalog's
+    upsert and resume becomes TILE-granular: already-materialized tile
+    keys anti-join out of the work grid before the mesh kernel runs,
+    so a resumed run recomputes only the missing tiles (the
+    transactional replacement for the per-zoom _SUCCESS marker, which
+    still gates whole completed zooms)."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = read_manifest(out_dir) if resume else {}
 
@@ -85,6 +94,9 @@ def build_tile_pyramid(
             t0 = time.time()
             cells = rollup_cells(base, max_zoom - zoom)
             grid = cell_grid(None, zoom, grid_bits, buffer_cells, cells=cells)
+            if catalog is not None and resume:
+                done_keys = catalog.completed_keys(zoom).select("tile_x", "tile_y")
+                grid = grid.join(done_keys, ["tile_x", "tile_y"], "left_anti")
             me = (
                 max_error
                 if max_error is not None
@@ -100,9 +112,16 @@ def build_tile_pyramid(
                 spark.sparkContext.defaultParallelism, "tile_x", "tile_y"
             ).sortWithinPartitions("tile_x", "tile_y")
             tiles = grid.mapInPandas(kernel, TILE_SCHEMA)
-            tiles.write.mode("overwrite").parquet(zdir)
-
-            n_tiles = spark.read.parquet(zdir).count()
+            if catalog is not None:
+                catalog.merge(tiles)
+                n_tiles = catalog.read().where(f"zoom = {zoom}").count()
+                # the _SUCCESS gate stays parquet-shaped: mark the zoom
+                # complete with an empty sentinel dir
+                os.makedirs(zdir, exist_ok=True)
+                open(os.path.join(zdir, "_SUCCESS"), "w").close()
+            else:
+                tiles.write.mode("overwrite").parquet(zdir)
+                n_tiles = spark.read.parquet(zdir).count()
             entry = {
                 "zoom": zoom,
                 "n_tiles": n_tiles,
