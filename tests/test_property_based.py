@@ -123,3 +123,85 @@ def test_geotiff_roundtrip_shapes(h, w, compress, cellsize):
     np.testing.assert_array_equal(r.z, g.z)
     assert abs(r.cellsize - cellsize) < 1e-12 * max(1.0, cellsize)
     assert r.xpos == g.xpos
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=10**6),
+)
+@SET
+def test_png_roundtrip_random(h, w, c, filt, seed):
+    from tin_terrain_spark.kernels import png as P
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    out = P.decode_png(P.encode_png(px, filters=filt))
+    assert np.array_equal(out, px)
+
+
+@given(
+    st.integers(min_value=-(10**5), max_value=10**5),
+    st.integers(min_value=-(10**5), max_value=10**5),
+)
+@SET
+def test_h3_axial_roundtrip_random(q, r):
+    from tin_terrain_spark.functions import h3pack as H
+
+    hid = H.h3_from_axial(q, r)
+    assert H.h3_is_valid(hid)
+    assert H.axial_from_h3(hid) == (q, r)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=60),
+    st.floats(min_value=0.3, max_value=4.0, allow_nan=False),
+    st.floats(min_value=-1.5, max_value=0.5, allow_nan=False),
+)
+@SET
+def test_clip_native_matches_python_random(seed, n, scale, shift):
+    """C clip == Python clip byte-for-byte on random soups straddling
+    the unit square (the parity claim, fuzzed)."""
+    from tin_terrain_spark.kernels import native
+    from tin_terrain_spark.kernels.geometry import clip_triangles_to_01_quadrant
+
+    if native.get_lib() is None:
+        return
+    soup = np.random.RandomState(seed).rand(n, 3, 3) * scale + shift
+    py = clip_triangles_to_01_quadrant(soup.copy(), force_python=True)
+    cc = native.clip01_native(soup.copy())
+    assert cc is not None
+    assert py.shape == cc.shape
+    assert py.tobytes() == cc.tobytes()
+
+
+@given(
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=2, max_value=30),
+    st.integers(min_value=0, max_value=25),
+)
+@SET
+def test_repair_corners_native_matches_python_random(seed, size, n_valid):
+    """C corner repair == Python corner repair bit-for-bit on random
+    sparse rasters (fuzzes the Bresenham search + subsample plane)."""
+    from tin_terrain_spark.kernels import native
+    from tin_terrain_spark.kernels.raster import Grid
+
+    if native.get_lib() is None:
+        return
+    import ctypes
+
+    rng = np.random.RandomState(seed)
+    z = np.full((size, size), np.nan)
+    if n_valid:
+        idx = rng.choice(size * size, min(n_valid, size * size), replace=False)
+        z.ravel()[idx] = rng.rand(len(idx)) * 100 - 50
+    gp = Grid(z.copy())
+    gn = Grid(z.copy())
+    native._repair_corners(gp)
+    native.get_lib().tin_repair_corners(
+        native._ptr(gn.z, ctypes.c_double), size, size, float(gn.ndv)
+    )
+    assert np.array_equal(gp.z, gn.z, equal_nan=True)

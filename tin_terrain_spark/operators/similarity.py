@@ -52,8 +52,13 @@ def srp_buckets(emb: DataFrame, n_tables: int = 4, planes_per_table: int = 4) ->
     sign(<v, h_{t,p}>), hyperplane weight for dim d =
     ((d * (t*P+p+1) * 2654435761) mod 65521) - 32760 (deterministic
     integer pseudo-hyperplanes). One row per (vec_id, table, bucket) —
-    a long layout that joins as a plain equi-key."""
-    rows = []
+    a long layout that joins as a plain equi-key.
+
+    All tables are computed in ONE projection over ONE scan and
+    unpivoted with posexplode (the earlier n_tables-way unionAll
+    re-scanned the input per table and quadrupled the plan that
+    Catalyst has to analyze on every fresh build)."""
+    buckets = []
     for t in range(n_tables):
         bits = []
         for p in range(planes_per_table):
@@ -69,15 +74,10 @@ def srp_buckets(emb: DataFrame, n_tables: int = 4, planes_per_table: int = 4) ->
         bucket = bits[0]
         for extra in bits[1:]:
             bucket = bucket + extra
-        rows.append(
-            emb.select(
-                "vec_id", F.lit(t).alias("table_id"), bucket.alias("bucket")
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        buckets.append(bucket)
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*buckets)).alias("table_id", "bucket")
+    )
 
 
 def ann_lsh(
