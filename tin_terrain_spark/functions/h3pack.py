@@ -399,6 +399,22 @@ def h3_step_exprs(res: int, q_col: str = "hex_q", r_col: str = "hex_r"):
 _H3_TMP = "_h3"
 
 
+def _h3_stages(steps):
+    """Group the flat (name, expr) walk into the minimal projection
+    stages: an expression joins the current stage unless it references
+    a column introduced in that same stage. ~73 single-column
+    projections collapse to ~25 stages — the difference is pure
+    Catalyst/parser analysis time on every fresh plan build."""
+    stages: list[list[tuple[str, str]]] = [[]]
+    for name, expr in steps:
+        cur_names = [n for n, _ in stages[-1]]
+        if any(n in expr for n in cur_names):
+            stages.append([(name, expr)])
+        else:
+            stages[-1].append((name, expr))
+    return stages
+
+
 def with_h3_id(df, size: float, x: str = "x", y: str = "y",
                res: int = 10, out_col: str = "h3_id"):
     """DataFrame helper: axial cells (hexgrid.with_hex_cell) packed to
@@ -411,8 +427,10 @@ def with_h3_id(df, size: float, x: str = "x", y: str = "y",
     from . import hexgrid as HG
 
     out = HG.with_hex_cell(df, size, x=x, y=y)
-    for name, expr in h3_step_exprs(res):
-        out = out.withColumn(name, F.expr(expr))
+    for stage in _h3_stages(h3_step_exprs(res)):
+        out = out.select(
+            "*", *[F.expr(expr).alias(name) for name, expr in stage]
+        )
     keep = [c for c in out.columns if not c.startswith(_H3_TMP) or c == "h3_id"]
     out = out.select(*keep)
     if out_col != "h3_id":
@@ -423,11 +441,12 @@ def with_h3_id(df, size: float, x: str = "x", y: str = "y",
 def h3_id_subquery_sql(inner_sql: str, res: int = 10) -> str:
     """DuckDB oracle twin of with_h3_id: wraps a subquery that already
     has hex_q/hex_r (hexgrid.hex_cell_subquery_sql) in a nested-select
-    chain materializing each walk step, then drops the intermediate
+    chain materializing each walk stage, then drops the intermediate
     _h3* columns."""
     steps = h3_step_exprs(res)
     sql = f"SELECT * FROM ({inner_sql})"
-    for name, expr in steps:
-        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    for stage in _h3_stages(steps):
+        cols = ", ".join(f"{expr} AS {name}" for name, expr in stage)
+        sql = f"SELECT *, {cols} FROM ({sql})"
     tmp = ", ".join(name for name, _ in steps if name != "h3_id")
     return f"SELECT * EXCLUDE ({tmp}) FROM ({sql})"
