@@ -88,6 +88,7 @@ def bench_queries():
         "exact_dedup": ("dedup", QE.QUERIES_EXT["exact_dedup"]),
         "winnow": ("dedup", QE.QUERIES_EXT["winnow"]),
         "contamination": ("dedup", QE.QUERIES_EXT["contamination"]),
+        "dup_clusters": ("dedup", QE.QUERIES_EXT["dup_clusters"]),
         "rep_signals": ("text", QE.QUERIES_EXT["rep_signals"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),
         "lang_profile": ("text", QE.QUERIES_EXT["lang_profile"]),

@@ -239,6 +239,25 @@ def test_pipeline_resume(spark, tmp_path):
     assert read_manifest(out)[2]["n_tiles"] == m1[2]["n_tiles"]
 
 
+def test_connected_components_transitive(spark):
+    """CC over pairs: A~B~C one cluster WITHOUT an A~C edge; chains,
+    a long path (pointer-jump convergence), and isolated pairs."""
+    from tin_terrain_spark.operators.dedup import connected_components
+
+    # components: {1,2,3} (path), {10,11} (edge), {20..29} (long chain)
+    chain = [(i, i + 1) for i in range(20, 29)]
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)] + chain, "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+    for v in range(20, 30):
+        assert got[v] == (20, 10), v
+    assert len(got) == 15
+
+
 def test_pipeline_catalog_tile_resume(spark, tmp_path):
     """Pipeline sink through the TileCatalog: resume is TILE-granular —
     pre-merged keys are anti-joined out of the work grid and NOT

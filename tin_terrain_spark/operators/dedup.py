@@ -369,3 +369,138 @@ def sql_contamination(bench_mod: int = 97, n: int = 5,
                >= {threshold} AS contaminated
       FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# duplicate clustering (connected components over the near-dup graph)
+# --------------------------------------------------------------------------
+
+
+def dup_clusters(docs: DataFrame, threshold: float = 0.5,
+                 max_iters: int = 25) -> DataFrame:
+    """Connected components over the near-duplicate graph: the step a
+    production dedup actually keys its keep/drop decision on (pairs
+    alone can't — transitive duplicates A~B~C must land in ONE group
+    even when A~C was never a candidate pair). cluster_id = min doc_id
+    reachable in the near_dup_pairs graph.
+
+    Algorithm: min-label propagation with POINTER JUMPING — per round,
+    every vertex takes the min of its own label and its neighbors'
+    labels (one equi-join + map-side-combinable groupBy on the edge
+    list), then chases label = label[label] (a self-join on the tiny
+    label table), which roughly halves the distance to each
+    component's minimum: rounds are O(log diameter), the same bound
+    the published large-star/small-star alternation achieves with the
+    same per-round plan shape. Each round ends in ONE aggregate action
+    (the convergence potential, which doubles as the cache
+    materializer); label tables are localCheckpoint-ed so the analyzed
+    plan stays O(1) per round instead of growing with the iteration
+    count. No collect of data rows.
+
+    Returns (doc_id, cluster_id, cluster_size) for every vertex of the
+    graph (docs with no near-duplicate don't appear; their cluster is
+    trivially themselves)."""
+    pairs = near_dup_pairs(docs, threshold).select("doc_a", "doc_b")
+    return connected_components(pairs, max_iters=max_iters)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Min-label connected components over an undirected (doc_a,
+    doc_b) pair list — see dup_clusters for the algorithm contract."""
+    # symmetric edge list (propagation needs both directions). The
+    # eager localCheckpoint TRUNCATES the near_dup_pairs lineage: the
+    # loop otherwise re-analyzes the whole LSH/shingle subtree on
+    # every round's plan even though the data is cached.
+    edges = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    try:
+        # convergence via the label-sum potential: labels only ever
+        # decrease, so the sum is strictly decreasing until fixpoint —
+        # ONE aggregate action per round (it doubles as the cache
+        # materializer), no old-vs-new join. decimal(38,0) keeps the
+        # sum exact at any id scale.
+        prev_sum = None
+        for _ in range(max_iters):
+            nbr_min = (
+                edges.join(labels, edges["doc_b"] == labels["doc_id"], "inner")
+                .groupBy("doc_a")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.join(
+                nbr_min, labels["doc_id"] == nbr_min["doc_a"], "left"
+            ).select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jump: label <- label[label] (labels only shrink,
+            # so the parent's label is always <= the child's)
+            parent = stepped.select(
+                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            new_labels = (
+                stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+        out = labels.join(sizes, "label").select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        # pin the result, then release the iteration state
+        out = out.persist()
+        out.count()
+        return out
+    finally:
+        edges.unpersist()
+        labels.unpersist()
+
+
+def sql_dup_clusters(threshold: float = 0.5, pairs_sql: str = "") -> str:
+    """DuckDB oracle twin: transitive closure by recursive CTE (the
+    graph at oracle scale is tiny), cluster = min reachable vertex."""
+    return f"""
+      WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({pairs_sql})
+      ),
+      e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+      ),
+      reach(a, b) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+      ),
+      closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a AS b FROM e
+      ),
+      cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM closure GROUP BY a),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY cluster_id)
+      SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
+      FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+    """

@@ -749,6 +749,13 @@ SQL_PIP_CONVEX = f"""
 """
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (cluster ids +
+    sizes) — Spark iterative min-label propagation vs a DuckDB
+    recursive-CTE transitive closure."""
+    return D.dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: n-gram overlap of corpus docs against
     the deterministic benchmark slice (doc_id % 97 == 0)."""
@@ -889,9 +896,13 @@ QUERIES_EXT.update(
         "near_dup_pairs": q_near_dup_pairs,
         "contamination": q_contamination,
         "rep_signals": q_rep_signals,
+        "dup_clusters": q_dup_clusters,
     }
 )
 ORACLES_EXT["contamination"] = D.sql_contamination()
 ORACLES_EXT["rep_signals"] = T.sql_rep_signals()
+ORACLES_EXT["dup_clusters"] = D.sql_dup_clusters(
+    pairs_sql=_sql_near_dup_pairs()
+)
 ORACLES_EXT["pip_convex"] = SQL_PIP_CONVEX
 ORACLES_EXT["near_dup_pairs"] = _sql_near_dup_pairs()
