@@ -121,6 +121,24 @@ def test_sql_walk_equals_numpy():
     assert not any(c.startswith("_h3") for c in cols)
 
 
+def test_parent_expr_equals_python():
+    """The one-expression SQL parent (digit-mask arithmetic) must equal
+    h3_to_parent for ids across resolutions — checked in DuckDB."""
+    import duckdb
+
+    ids = [H.h3_from_axial(q, r, res=7) for q, r in
+           [(0, 0), (5, -3), (-40, 17), (123, -85), (1, 1)]]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (h3_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    expr = H.h3_parent_expr(7, 4, "h3_id", dialect="duckdb")
+    got = [r[0] for r in con.execute(f"SELECT {expr} FROM t").fetchall()]
+    expect = [H.h3_to_parent(i, 4) for i in ids]
+    assert got == expect
+    for p in expect:
+        assert H.h3_is_valid(p) and H.unpack_h3(p)["res"] == 4
+
+
 def test_parent_equals_coarse_walk():
     """Truncating digits must equal encoding the aperture-7 parent
     coordinate directly at the coarser resolution (the walk is

@@ -438,6 +438,24 @@ def with_h3_id(df, size: float, x: str = "x", y: str = "y",
     return out
 
 
+def h3_parent_expr(res_from: int, res_to: int, col: str = "h3_id",
+                   dialect: str = "spark") -> str:
+    """Parent-cell id at `res_to` from an id at `res_from`, as ONE
+    integer expression (H3's hierarchical-containment property): zero
+    the digits below the parent resolution, refill them with 7s (a
+    3-bit group of 1s IS 7), and adjust the resolution field — all of
+    which collapses to ((id >> s) << s) + C with a precomputed
+    constant. Spark spells the shifts shiftright/shiftleft, DuckDB
+    >>/<< — the VALUES are identical exact int64 arithmetic."""
+    if not (0 <= res_to <= res_from <= _MAX_RES):
+        raise ValueError("need 0 <= res_to <= res_from <= 15")
+    s = 3 * (_MAX_RES - res_to)
+    c = ((1 << s) - 1) + ((res_to - res_from) << _RES_OFFSET)
+    if dialect == "spark":
+        return f"(shiftleft(shiftright({col}, {s}), {s}) + CAST({c} AS BIGINT))"
+    return f"((({col}) >> {s}) << {s}) + CAST({c} AS BIGINT)"
+
+
 def h3_id_subquery_sql(inner_sql: str, res: int = 10) -> str:
     """DuckDB oracle twin of with_h3_id: wraps a subquery that already
     has hex_q/hex_r (hexgrid.hex_cell_subquery_sql) in a nested-select

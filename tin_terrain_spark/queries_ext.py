@@ -749,6 +749,38 @@ SQL_PIP_CONVEX = f"""
 """
 
 
+def q_h3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical H3 rollup: res-7 cells aggregate to their res-4
+    parents by pure digit-mask arithmetic (h3pack.h3_parent_expr) —
+    the hex analogue of zoom_pyramid, no re-derivation from points."""
+    from .functions import h3pack as H3
+
+    cells = q_h3_cells(spark, sf_dir)
+    return (
+        cells.withColumn("h3_parent", F.expr(H3.h3_parent_expr(7, 4, "h3_id")))
+        .groupBy("h3_parent")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_child_cells"),
+            F.min("first_doc").alias("first_doc"),
+        )
+    )
+
+
+def _sql_h3_rollup() -> str:
+    from .functions import h3pack as H3
+
+    parent = H3.h3_parent_expr(7, 4, "h3_id", dialect="duckdb")
+    return f"""
+      SELECT {parent} AS h3_parent,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             count(*) AS n_child_cells,
+             min(first_doc) AS first_doc
+      FROM ({_sql_h3_cells()})
+      GROUP BY 1
+    """
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup graph (cluster ids +
     sizes) — Spark iterative min-label propagation vs a DuckDB
@@ -897,8 +929,10 @@ QUERIES_EXT.update(
         "contamination": q_contamination,
         "rep_signals": q_rep_signals,
         "dup_clusters": q_dup_clusters,
+        "h3_rollup": q_h3_rollup,
     }
 )
+ORACLES_EXT["h3_rollup"] = _sql_h3_rollup()
 ORACLES_EXT["contamination"] = D.sql_contamination()
 ORACLES_EXT["rep_signals"] = T.sql_rep_signals()
 ORACLES_EXT["dup_clusters"] = D.sql_dup_clusters(
