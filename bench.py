@@ -55,6 +55,7 @@ def bench_queries():
         "knn_hex": ("join", QE.QUERIES_EXT["knn_hex"]),
         "hex_cells": ("relational", QE.QUERIES_EXT["hex_cells"]),
         "h3_cells": ("relational", QE.QUERIES_EXT["h3_cells"]),
+        "h3_rollup": ("relational", QE.QUERIES_EXT["h3_rollup"]),
         "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
         "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
         "near_dup_pairs": ("dedup", QE.QUERIES_EXT["near_dup_pairs"]),
