@@ -91,6 +91,7 @@ def bench_queries():
         "contamination": ("dedup", QE.QUERIES_EXT["contamination"]),
         "dup_clusters": ("dedup", QE.QUERIES_EXT["dup_clusters"]),
         "rep_signals": ("text", QE.QUERIES_EXT["rep_signals"]),
+        "quality_filter": ("text", QE.QUERIES_EXT["quality_filter"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),
         "lang_profile": ("text", QE.QUERIES_EXT["lang_profile"]),
         "token_counts": ("text", QE.QUERIES_EXT["token_counts"]),

@@ -253,3 +253,75 @@ def sql_rep_signals() -> str:
              round(CAST(ba.top_bigram AS DOUBLE) / ba.n_bigrams, 6) AS top_bigram_frac
       FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
     """
+
+
+def quality_filter(docs: DataFrame,
+                   min_tokens: int = 20, max_tokens: int = 100000,
+                   min_distinct_frac: float = 0.30,
+                   max_top_tok_frac: float = 0.20,
+                   max_top_bigram_frac: float = 0.12,
+                   min_stopword_frac: float = 0.01) -> DataFrame:
+    """Composite keep/drop quality gate (the C4 / Gopher rule family):
+    length window, distinct-token floor, repetition ceilings, stopword
+    floor — each rule emitted as its own boolean REASON column plus the
+    conjunctive `keep`, so downstream mixing can report per-rule drop
+    rates (the way data cards do). Pure composition of the oracled
+    signal operators — one extra join, no new shuffle shapes."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).alias("n_stop"),
+    )
+    rs = rep_signals(docs).select(
+        "doc_id", "distinct_frac", "top_tok_frac", "top_bigram_frac"
+    )
+    j = base.join(rs, "doc_id")
+    ok_len = F.col("n_tokens").between(min_tokens, max_tokens)
+    ok_distinct = F.col("distinct_frac") >= min_distinct_frac
+    ok_top_tok = F.col("top_tok_frac") <= max_top_tok_frac
+    ok_top_bigram = F.col("top_bigram_frac") <= max_top_bigram_frac
+    ok_stop = F.round(F.col("n_stop") / F.col("n_tokens"), 6) >= min_stopword_frac
+    return j.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_distinct.alias("ok_distinct"),
+        ok_top_tok.alias("ok_top_tok"),
+        ok_top_bigram.alias("ok_top_bigram"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_distinct & ok_top_tok & ok_top_bigram & ok_stop).alias("keep"),
+    )
+
+
+def sql_quality_filter(min_tokens: int = 20, max_tokens: int = 100000,
+                       min_distinct_frac: float = 0.30,
+                       max_top_tok_frac: float = 0.20,
+                       max_top_bigram_frac: float = 0.12,
+                       min_stopword_frac: float = 0.01) -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '), t -> t IN ({sw}))) AS n_stop
+        FROM documents
+      ),
+      rs AS ({sql_rep_signals()}),
+      j AS (
+        SELECT b.doc_id, b.n_tokens, b.n_stop,
+               rs.distinct_frac, rs.top_tok_frac, rs.top_bigram_frac
+        FROM base b JOIN rs ON b.doc_id = rs.doc_id
+      )
+      SELECT doc_id,
+             n_tokens BETWEEN {min_tokens} AND {max_tokens} AS ok_len,
+             distinct_frac >= {min_distinct_frac} AS ok_distinct,
+             top_tok_frac <= {max_top_tok_frac} AS ok_top_tok,
+             top_bigram_frac <= {max_top_bigram_frac} AS ok_top_bigram,
+             round(CAST(n_stop AS DOUBLE) / n_tokens, 6) >= {min_stopword_frac} AS ok_stopwords,
+             (n_tokens BETWEEN {min_tokens} AND {max_tokens})
+               AND distinct_frac >= {min_distinct_frac}
+               AND top_tok_frac <= {max_top_tok_frac}
+               AND top_bigram_frac <= {max_top_bigram_frac}
+               AND round(CAST(n_stop AS DOUBLE) / n_tokens, 6) >= {min_stopword_frac} AS keep
+      FROM j
+    """

@@ -799,6 +799,11 @@ def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.rep_signals(_docs(spark, sf_dir))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher keep/drop gate with per-rule reasons."""
+    return T.quality_filter(_docs(spark, sf_dir))
+
+
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard refine over the LSH candidates (threshold 0.5)."""
     return D.near_dup_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -930,9 +935,11 @@ QUERIES_EXT.update(
         "rep_signals": q_rep_signals,
         "dup_clusters": q_dup_clusters,
         "h3_rollup": q_h3_rollup,
+        "quality_filter": q_quality_filter,
     }
 )
 ORACLES_EXT["h3_rollup"] = _sql_h3_rollup()
+ORACLES_EXT["quality_filter"] = T.sql_quality_filter()
 ORACLES_EXT["contamination"] = D.sql_contamination()
 ORACLES_EXT["rep_signals"] = T.sql_rep_signals()
 ORACLES_EXT["dup_clusters"] = D.sql_dup_clusters(
