@@ -1,10 +1,13 @@
-"""Iceberg source gating (sources/iceberg.py).
+"""Iceberg source gating + tile-catalog resume (sources/iceberg.py).
 
-This container has no Iceberg jars, so these tests pin the DEGRADE
-path: availability probe is honest, every jar-requiring entry point
-raises IcebergUnavailable with launch guidance, the parquet fallback
-serves the same pages schema, and the DDL/MERGE SQL is well-formed
-(parseable structure, bucket(url) layout, full tile-key join)."""
+This container has no Iceberg jars, so the jar-bound tests pin the
+DEGRADE path: availability probe is honest, every jar-requiring entry
+point raises IcebergUnavailable with launch guidance, the parquet
+fallback serves the same pages schema, and the DDL/MERGE SQL is
+well-formed. The MERGE-resume STATE MACHINE itself executes here via
+LocalTileCatalog (versioned parquet + atomic LATEST commit): matched
+keys replaced, unmatched kept, re-merge idempotent, crash-before-
+commit invisible."""
 
 from __future__ import annotations
 

@@ -1,14 +1,17 @@
-/* tinmesh.c — native fast path for the Terra/Zemlya greedy TIN kernels.
+/* tinmesh.c — native fast path for the Terra/Zemlya greedy TIN kernels,
+ * corner repair, and the unit-square triangle clip.
  *
  * A line-for-line translation of THIS REPO'S Python kernels
- * (kernels/delaunay.py, kernels/terra.py, kernels/zemlya.py) into C —
- * not of the reference C++ (heremaps/tin-terrain), whose semantics the
- * Python kernels already re-implement and test. Outputs must be
- * BIT-IDENTICAL to the Python path: every float expression keeps the
- * Python evaluation order, and the build uses -ffp-contract=off so the
- * compiler cannot fuse multiply-adds. kernels/native.py compiles this
- * with the system gcc at first use and falls back to pure Python when
- * no compiler is available (the .so is a cache, never a requirement).
+ * (kernels/delaunay.py, kernels/terra.py, kernels/zemlya.py,
+ * kernels/raster.py's subsample/nearest-valid search, and
+ * kernels/geometry.py's clip) into C — not of the reference C++
+ * (heremaps/tin-terrain), whose semantics the Python kernels already
+ * re-implement and test. Outputs must be BIT-IDENTICAL to the Python
+ * path: every float expression keeps the Python evaluation order, and
+ * the build uses -ffp-contract=off so the compiler cannot fuse
+ * multiply-adds. kernels/native.py compiles this with the system gcc
+ * at first use and falls back to pure Python when no compiler is
+ * available (the .so is a cache, never a requirement).
  *
  * Key shared-semantics notes (mirroring the Python docstrings):
  *  - quarter-edge algebra: edge k owns quarters 4k..4k+3
