@@ -147,6 +147,12 @@ def test_knn_density_ring_equals_brute(spark, points):
         ).collect()
     }
     assert b == h2
+    # the many-query shuffled cell equi-join shape is exact too
+    s = {
+        (r["q_id"], r["rank"]): r["doc_id"]
+        for r in knn_ring(others, queries, 2, 5, k=5, cell_join="shuffle").collect()
+    }
+    assert b == s
 
 
 def test_with_h3_id_packs_axial(spark, points):

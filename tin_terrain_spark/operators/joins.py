@@ -235,21 +235,34 @@ def _knn_rounds(pts: DataFrame, q: DataFrame, k: int, initial_ring: int,
 def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
              k: int = 5, initial_ring: int | None = None,
              repartition_to: int | None = None,
-             max_ring_rounds: int = 3) -> DataFrame:
+             max_ring_rounds: int = 3,
+             cell_join: str = "broadcast") -> DataFrame:
     """J6 scale path: iterative ring join on the cell grid, exact brute
     fallback only for queries no ring round resolves.
 
     Each round joins points whose cell lies within Chebyshev radius R
-    of a query's cell (broadcast queries — at 10^12 points this is a
-    broadcast range join with NO shuffle of the big side), refines by
-    exact distance, and takes the per-query top-k. A query is FINAL
-    when its k-th distance ≤ R * cell_size (nothing outside the ring
-    can be closer — the same buffered-margin geometry as the
-    reference's partitions, dem2tintiles_workflow.cpp:51-53). The
-    first ring is density-derived (_density_ring) so round 1 is
-    expected to resolve everything; the iterative loop is the
-    rare-miss path. See _knn_rounds for the coordination contract.
+    of a query's cell, refines by exact distance, and takes the
+    per-query top-k. A query is FINAL when its k-th distance ≤
+    R * cell_size (nothing outside the ring can be closer — the same
+    buffered-margin geometry as the reference's partitions,
+    dem2tintiles_workflow.cpp:51-53). The first ring is
+    density-derived (_density_ring) so round 1 is expected to resolve
+    everything; the iterative loop is the rare-miss path. See
+    _knn_rounds for the coordination contract.
+
+    cell_join picks the candidate-join physical shape:
+      "broadcast" (default): broadcast the query set and range-join on
+        the cell box — NO shuffle of the big side, the right plan when
+        the query set is driver-small (the common lookup case).
+      "shuffle": explode each query's (2R+1)² cell box to rows and
+        hash equi-join on (cell_x, cell_y) WITHOUT broadcast — the
+        many-query plan (10^6+ queries would otherwise evaluate every
+        box predicate against every point row); both sides shuffle on
+        the cell key, partial work scales with |q|·ball + |points|.
+    Both shapes are exact and hash-equal to knn_brute (tested).
     """
+    if cell_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"cell_join must be broadcast|shuffle, not {cell_join!r}")
     cell_m = GX.tile_size_meters(zoom + grid_bits)
     pts = points.select("doc_id", "x", "y", "cell_x", "cell_y")
     # No .rdd probing (that forces an RDD conversion) and no implicit
@@ -274,6 +287,18 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
             )
 
     def cand_fn(pts_r, remaining, ring):
+        if cell_join == "shuffle":
+            r = F.lit(ring)
+            ball = (
+                remaining.withColumn(
+                    "cell_x", F.explode(F.sequence(F.col("qcx") - r, F.col("qcx") + r))
+                )
+                .withColumn(
+                    "cell_y", F.explode(F.sequence(F.col("qcy") - r, F.col("qcy") + r))
+                )
+                .select("q_id", "qx", "qy", "cell_x", "cell_y")
+            )
+            return pts_r.join(ball, ["cell_x", "cell_y"], "inner")
         return pts_r.join(
             F.broadcast(remaining),
             (F.col("cell_x") >= F.col("qcx") - ring)
