@@ -153,6 +153,14 @@ def test_knn_density_ring_equals_brute(spark, points):
         for r in knn_ring(others, queries, 2, 5, k=5, cell_join="shuffle").collect()
     }
     assert b == s
+    sh = {
+        (r["q_id"], r["rank"]): r["doc_id"]
+        for r in knn_hex(
+            others, queries.select("q_id", "x", "y"), tile_size_meters(7), k=5,
+            cell_join="shuffle",
+        ).collect()
+    }
+    assert b == sh
 
 
 def test_with_h3_id_packs_axial(spark, points):

@@ -447,7 +447,8 @@ def _hex_ring_cells(remaining: DataFrame, ring: int) -> DataFrame:
 def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
             k: int = 5, initial_ring: int | None = None,
             repartition_to: int | None = None,
-            max_ring_rounds: int = 3) -> DataFrame:
+            max_ring_rounds: int = 3,
+            cell_join: str = "broadcast") -> DataFrame:
     """J6 over the H3-style hex index (charter: "kNN lookups over H3
     ring expansion"): same iterative driver as knn_ring (_knn_rounds),
     but candidate rings are hexagonal — the ring ball is exploded to
@@ -461,8 +462,14 @@ def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
     (cheap, codegen'd) per-scan hex math instead of caching 10^12
     rows. The first ring is density-derived so round 1 is expected to
     resolve everything. Exactness: results are hash-equal to knn_brute
-    (the driver gate's oracle recomputes brute-force kNN in DuckDB)."""
+    (the driver gate's oracle recomputes brute-force kNN in DuckDB).
+    cell_join as in knn_ring: "broadcast" (default, driver-small query
+    sets) or "shuffle" (many-query: the exploded ring ball equi-joins
+    with no broadcast; both sides shuffle on the hex cell key)."""
     from ..functions import hexgrid as HG
+
+    if cell_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"cell_join must be broadcast|shuffle, not {cell_join!r}")
 
     pts = points.select("doc_id", "x", "y")
     persists: tuple = ()
@@ -486,9 +493,10 @@ def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
             )
 
     def cand_fn(pts_r, remaining, ring):
-        return pts_r.join(
-            F.broadcast(_hex_ring_cells(remaining, ring)), ["hex_q", "hex_r"], "inner"
-        )
+        ball = _hex_ring_cells(remaining, ring)
+        if cell_join == "broadcast":
+            ball = F.broadcast(ball)
+        return pts_r.join(ball, ["hex_q", "hex_r"], "inner")
 
     return _knn_rounds(
         pts, q, k, initial_ring, max_ring_rounds,
