@@ -54,9 +54,10 @@ def test_validity_rejections():
     assert not H.h3_is_valid(SF_ID | (0x7 << 56))        # reserved bits
     # digit past the resolution not 7
     assert not H.h3_is_valid(SF_ID & ~np.uint64(0x7).item())
-    # K digit under a pentagon base cell
-    pent = H.pack_h3(2, 4, [1, 0])
-    assert not H.h3_is_valid(pent)
+    # pentagon rule: only the LEADING non-center digit may not be K
+    assert not H.h3_is_valid(H.pack_h3(2, 4, [1, 0]))   # leads with K
+    assert not H.h3_is_valid(H.pack_h3(3, 4, [0, 1, 2]))  # zeros then K
+    assert H.h3_is_valid(H.pack_h3(2, 4, [2, 1]))       # deep K is legal
     assert H.h3_is_valid(H.pack_h3(2, 4, [2, 0]))
 
 

@@ -75,6 +75,16 @@ def test_gray_conversion():
 def test_rejections_are_loud():
     with pytest.raises(ValueError):
         P.decode_png(b"not a png at all")
+    # corrupt streams raise ValueError too (never zlib/struct errors —
+    # the single-type contract the multimodal fallback dispatch needs)
+    good = P.encode_png(_img(6, 6, 1))
+    with pytest.raises(ValueError):
+        P.decode_png(good[:40])  # truncated mid-IHDR/IDAT
+    garbage = bytearray(good)
+    for i in range(45, min(60, len(garbage))):
+        garbage[i] ^= 0xFF  # corrupt the IDAT body
+    with pytest.raises(ValueError):
+        P.decode_png(bytes(garbage))
     px = _img(4, 4, 1)
     good = P.encode_png(px)
     # corrupt bit depth to 16

@@ -89,8 +89,10 @@ def unpack_h3(h: int) -> dict:
 
 def h3_is_valid(h: int) -> bool:
     """Cell-mode validity per the spec: high bit 0, mode 1, reserved
-    bits 0, base cell <= 121, used digits <= 6 (no K digit under a
-    pentagon), unused digits all 7."""
+    bits 0, base cell <= 121, used digits <= 6, unused digits all 7,
+    and under a pentagon base cell the LEADING non-center digit must
+    not be K (the spec's isValidCell checks only the first non-zero
+    digit — deeper K digits are legal)."""
     if h >> 63:
         return False
     if (h >> _MODE_OFFSET) & 0xF != MODE_CELL:
@@ -102,8 +104,10 @@ def h3_is_valid(h: int) -> bool:
         return False
     if any(d > 6 for d in f["digits"]):
         return False
-    if f["base_cell"] in _PENTAGONS and any(d == 1 for d in f["digits"]):
-        return False
+    if f["base_cell"] in _PENTAGONS:
+        lead = next((d for d in f["digits"] if d != 0), None)
+        if lead == 1:
+            return False
     for r in range(f["res"] + 1, _MAX_RES + 1):
         if (h >> (3 * (_MAX_RES - r))) & 0x7 != 7:
             return False

@@ -54,9 +54,19 @@ def _chunks(data: bytes):
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> uint8 array (H, W, C). Raises ValueError on
-    non-PNG bytes or unsupported variants (caller decides fallback)."""
+    non-PNG bytes, unsupported variants, AND corrupt streams — the
+    single exception type is the contract callers' fallback dispatch
+    relies on (zlib/struct errors from truncated or garbage bodies are
+    wrapped, never leaked into an executor)."""
     if not is_png(data):
         raise ValueError("not a PNG stream")
+    try:
+        return _decode_png_checked(data)
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG stream: {e}") from e
+
+
+def _decode_png_checked(data: bytes) -> np.ndarray:
     width = height = None
     channels = None
     idat = bytearray()

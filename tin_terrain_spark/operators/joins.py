@@ -147,10 +147,20 @@ def _density_ring(pts: DataFrame, k: int, cell_m: float,
     n = row["n"] or 0
     if n <= 32 * k:
         return None
-    area = (row["x1"] - row["x0"]) * (row["y1"] - row["y0"])
-    if not area or area <= 0.0:
-        return None
-    g = math.sqrt(32.0 * k * area / (math.pi * n))  # guarantee radius, meters
+    dx = float(row["x1"] - row["x0"])
+    dy = float(row["y1"] - row["y0"])
+    area = dx * dy
+    span = max(dx, dy)
+    if area > 0.0:
+        g = math.sqrt(32.0 * k * area / (math.pi * n))  # guarantee radius, m
+    elif span > 0.0:
+        # degenerate (collinear) corpus: 1-D density — expected k-th
+        # distance ~ span * k / n; the brute crossJoin would be the
+        # |points| x |queries| scale-killer exactly here
+        g = 32.0 * k * span / n
+    else:
+        # every point identical: any ring >= 2 covers the whole corpus
+        return 2
     if geometry == "square":
         # square-grid guarantee: R * cell_m  =>  R >= g / cell_m
         ring = int(math.ceil(g / cell_m))
@@ -494,7 +504,11 @@ def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
 
     def cand_fn(pts_r, remaining, ring):
         ball = _hex_ring_cells(remaining, ring)
-        if cell_join == "broadcast":
+        # the ball has 3R(R+1)+1 rows PER QUERY and R is density-derived
+        # (unbounded on sparse corpora, x4 per miss round): past the cap
+        # drop the broadcast hint and let the equi-join shuffle instead
+        # of forcing an arbitrarily large broadcast through the driver
+        if cell_join == "broadcast" and 3 * ring * (ring + 1) + 1 <= 8192:
             ball = F.broadcast(ball)
         return pts_r.join(ball, ["hex_q", "hex_r"], "inner")
 

@@ -274,17 +274,24 @@ class LocalTileCatalog(TileCatalog):
 
         v = self._latest()
         keys = list(TILE_KEY)
-        if v == 0:
-            new_state = tiles
-        else:
-            cur = self.read()
-            # MERGE INTO semantics: matched -> replaced by the update,
-            # not matched -> kept; plus all new rows
-            new_state = cur.join(
-                tiles.select(*keys), keys, "left_anti"
-            ).unionByName(tiles)
-        nxt = v + 1
-        new_state.write.mode("overwrite").parquet(self._version_dir(nxt))
+        # the update set feeds the plan twice (anti-join keys + union
+        # payload); without a persist Spark executes the upstream —
+        # typically the per-tile mesh kernel — once per subtree
+        tiles = tiles.persist()
+        try:
+            if v == 0:
+                new_state = tiles
+            else:
+                cur = self.read()
+                # MERGE INTO semantics: matched -> replaced by the
+                # update, not matched -> kept; plus all new rows
+                new_state = cur.join(
+                    tiles.select(*keys), keys, "left_anti"
+                ).unionByName(tiles)
+            nxt = v + 1
+            new_state.write.mode("overwrite").parquet(self._version_dir(nxt))
+        finally:
+            tiles.unpersist()
         fd, tmp = tempfile.mkstemp(dir=self.path)
         with os.fdopen(fd, "w") as f:
             f.write(str(nxt))
