@@ -34,7 +34,7 @@ cores = int(os.environ["SPARK_GRAFT_CPUS"])
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("scaling", cores=cores)
 # warm-up: compile plans + spawn the python worker pool
-scaling_job(spark, sf_dir, mult=2, zoom=3)
+scaling_job(spark, sf_dir, mult=2, zoom=3, cc_chains=64)
 # min-of-3 within one session (bench.py's steady-state policy): this
 # host's CPU steal swings identical runs by +-50%
 walls, phs = [], []
@@ -121,7 +121,10 @@ def main():
 
 Identical compute-bound job (512x-replicated pages at {sf_dir} → ~25.6M
 points → zoom-10 terra tile pyramid (~1M occupied tiles) + cell-ring kNN join +
-cell aggregation at zoom-7 cells), run at two parallelism levels
+cell aggregation at zoom-7 cells + connected components over a 2.1M-vertex
+chain forest of diameter 2^8 — the `cc` phase's `cc_rounds` is the
+O(log diameter) witness: pointer-jumping converges in ~log2(256)+2
+rounds, identically at both parallelism levels), run at two parallelism levels
 N=local[2] and 4N=local[8], launched via `spark-submit --py-files` —
 the sandbox stand-in for N vs 4N executors. Each leg runs the job
 three times in one session; min wall and per-phase mins are reported

@@ -87,12 +87,13 @@ def test_rejections_are_loud():
         P.decode_png(bytes(garbage))
     px = _img(4, 4, 1)
     good = P.encode_png(px)
-    # corrupt bit depth to 16
+    # depth flipped to 16 on an 8-bit stream: supported depth, but the
+    # scanline length no longer matches -> loud
     bad = bytearray(good)
     bad[24] = 16
     with pytest.raises(ValueError):
         P.decode_png(bytes(bad))
-    # palette color type
+    # color type flipped to palette without a PLTE chunk: loud
     bad = bytearray(good)
     bad[25] = 3
     with pytest.raises(ValueError):
@@ -118,3 +119,66 @@ def test_multimodal_real_decode_uses_png():
     stub = M._decode_pixels(b"abcdef0123456789", 32, 32)
     assert stub.shape == (32, 32)
     assert not np.array_equal(stub, expect)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_16bit_gray(filt):
+    """16-bit grayscale — the DEM-adjacent payload. Filters operate on
+    BYTES with a 2-byte pixel offset; values must survive exactly."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 65536, size=(11, 9, 1)).astype(np.uint16)
+    out = P.decode_png(P.encode_png(px, filters=filt))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, px)
+
+
+def test_roundtrip_16bit_rgb():
+    rng = np.random.RandomState(8)
+    px = rng.randint(0, 65536, size=(5, 7, 3)).astype(np.uint16)
+    out = P.decode_png(P.encode_png(px, filters=[0, 1, 2, 3, 4]))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, px)
+
+
+def test_16bit_gray_conversion_scale():
+    px = np.array([[[0], [32768], [65535]]], dtype=np.uint16)
+    g = P.to_gray_f32(px)
+    np.testing.assert_allclose(g[0], [0.0, 0.5, 65535 / 65536], rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_palette(filt):
+    rng = np.random.RandomState(9)
+    palette = rng.randint(0, 256, size=(17, 3)).astype(np.uint8)
+    idx = rng.randint(0, 17, size=(10, 8)).astype(np.uint8)
+    out = P.decode_png(P.encode_png_palette(idx, palette, filters=filt))
+    assert out.shape == (10, 8, 3)
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_roundtrip_palette_trns_alpha():
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    trns = np.array([0, 128], dtype=np.uint8)  # entry 2 implicitly opaque
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    out = P.decode_png(P.encode_png_palette(idx, palette, trns=trns))
+    assert out.shape == (2, 2, 4)
+    np.testing.assert_array_equal(out[:, :, :3], palette[idx])
+    np.testing.assert_array_equal(out[:, :, 3], [[0, 128], [255, 0]])
+
+
+def test_palette_rejections():
+    palette = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    good = P.encode_png_palette(idx, palette)
+    # sub-8-bit palette depth: loud
+    bad = bytearray(good)
+    bad[24] = 4
+    with pytest.raises(ValueError):
+        P.decode_png(bytes(bad))
+    # index beyond the palette: loud at encode time
+    with pytest.raises(ValueError):
+        P.encode_png_palette(np.full((2, 2), 9, dtype=np.uint8), palette)
+    # PLTE missing: loud (rebuild the stream without the PLTE chunk)
+    no_plte = good[:33] + good[33 + 12 + 12 :]  # drop PLTE (12 hdr + 12 body)
+    with pytest.raises(ValueError):
+        P.decode_png(no_plte)

@@ -34,11 +34,13 @@ def test_write_read_roundtrip(tmp_path, compress):
     assert r.ndv == g.ndv
 
 
-@pytest.mark.parametrize("compress", [False, True, "lzw"])
+@pytest.mark.parametrize("compress", [True, "lzw", "packbits"])
 def test_write_read_roundtrip_fp_predictor3(tmp_path, compress):
     """Floating-point predictor (TIFF TechNote 3): deflate+predictor-3
     float32 is the common real-DEM archive layout; the roundtrip must
-    be bit-exact including nodata and NaN cells."""
+    be bit-exact including nodata and NaN cells. (compress=False is no
+    longer a legal combination — standard tooling ignores tag 317 on
+    uncompressed strips; see test_predictor3_requires_compression.)"""
     g = _sample_grid()
     g.z[0, 0] = np.nan
     p = str(tmp_path / "fp3.tif")
@@ -468,3 +470,14 @@ def test_multiband_planar_band1():
     ]
     g = read_geotiff(_pack_classic_tiff(entries, strips))
     np.testing.assert_array_equal(g.z, b1.astype(np.float64))
+
+
+def test_predictor3_requires_compression(tmp_path):
+    """Tag 317 is a codec parameter: GDAL/libtiff ignore it on
+    uncompressed strips, so predictor=3 + compress=False would write a
+    file only this repo can read back. The writer must refuse."""
+    import pytest
+
+    g = _sample_grid()
+    with pytest.raises(ValueError, match="predictor=3 requires compression"):
+        write_geotiff(g, str(tmp_path / "bad.tif"), compress=False, predictor=3)

@@ -139,3 +139,17 @@ def test_local_catalog_empty_completed_keys(spark, tmp_path):
     assert cat.completed_keys(4).count() == 0
     with pytest.raises(ValueError, match="empty catalog"):
         cat.read()
+
+
+def test_local_catalog_merge_rejects_duplicate_keys(spark, tmp_path):
+    """Iceberg MERGE INTO fails when multiple source rows match one
+    target row; the local binding of the same contract must fail the
+    same way rather than silently accumulating duplicate tile rows."""
+    import pytest
+
+    cat = I.tile_catalog(spark, local_path=str(tmp_path / "tiles"))
+    with pytest.raises(ValueError, match="duplicate"):
+        cat.merge(_tiles(spark, [(4, 0, 0, 10, "A"), (4, 0, 0, 11, "A")]))
+    # the failed merge must not have committed a version
+    with pytest.raises(ValueError, match="empty catalog"):
+        cat.read()

@@ -539,3 +539,107 @@ def test_stream_kernel_equals_grouped_kernel(points):
                 assert np.isnan(ov), (k, col)
             else:
                 assert v == ov, (k, col)
+
+
+def test_quality_filter_keep_is_boolean_for_tiny_docs(spark):
+    """Docs with <2 tokens produce no bigrams; top_bigram_frac comes
+    back NULL from rep_signals' left join. `keep` must still be a real
+    boolean for every row, for ANY min_tokens — including <=1 where
+    the length rule no longer masks the NULL via false AND NULL."""
+    from tin_terrain_spark.operators.textops import quality_filter
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "a a a a a a a a a a")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in quality_filter(docs, min_tokens=1).collect()}
+    for did, r in rows.items():
+        assert r.keep is not None, f"doc {did}: keep is NULL"
+        assert r.ok_top_bigram is not None, f"doc {did}: ok_top_bigram is NULL"
+    # the 1-token doc has no bigram repetition to object to
+    assert rows[1].ok_top_bigram is True
+    # doc 3 fails distinct/top-token rules but boolean-ly so
+    assert rows[3].keep is False
+
+
+def test_contamination_broadcast_optin_same_result(spark):
+    """The broadcast hint on the benchmark side is opt-in (the default
+    lets AQE size the join: a corpus-derived benchmark slice is NOT
+    guaranteed tiny at scale). Both plans must agree on values."""
+    from tin_terrain_spark.operators.dedup import contamination
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta gamma delta epsilon tok{i % 5} zeta")
+         for i in range(60)],
+        "doc_id BIGINT, text STRING",
+    )
+    a = sorted(map(tuple, contamination(docs, bench_mod=10).collect()))
+    b = sorted(map(tuple, contamination(docs, bench_mod=10,
+                                        broadcast_bench=True).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_connected_components_log_diameter_rounds(spark):
+    """Pointer jumping bounds CC rounds by ~log2(diameter), not
+    O(diameter): a 512-vertex chain (diameter 511) must converge in
+    <= ceil(log2(511)) + 2 = 11 rounds (measured: 10), where plain
+    min-label propagation would need ~511. A star must converge in 2
+    (one propagate + one fixpoint confirm)."""
+    import math
+
+    from tin_terrain_spark.operators.dedup import connected_components
+
+    n = 512
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    st = {}
+    out = connected_components(chain, stats=st).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 and r.cluster_size == n for r in out)
+    assert 4 <= st["rounds"] <= math.ceil(math.log2(n - 1)) + 2
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    st = {}
+    out = connected_components(star, stats=st).collect()
+    assert all(r.cluster_id == 0 and r.cluster_size == 40 for r in out)
+    assert st["rounds"] == 2
+
+
+def test_image_features_16bit_and_palette_png_path(spark):
+    """16-bit grayscale and palette PNGs run the REAL decoder through
+    the full mapInPandas pipeline (not the stub): features equal the
+    hand-computed pooled sums of the decoded grayscale pixels."""
+    import numpy as np
+
+    from tin_terrain_spark.kernels import png as P
+    from tin_terrain_spark.operators import multimodal as M
+    from tin_terrain_spark.operators.multimodal import image_features
+
+    if M._HAS_PIL:
+        pytest.skip("PIL present: real-library path covered elsewhere")
+
+    rng = np.random.RandomState(11)
+    px16 = (rng.randint(0, 65536, size=(32, 32, 1))).astype(np.uint16)
+    pal = rng.randint(0, 256, size=(23, 3)).astype(np.uint8)
+    idx = rng.randint(0, 23, size=(32, 32)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(P.encode_png(px16, filters=2)), 32, 32),
+            (2, "image", bytearray(P.encode_png_palette(idx, pal, filters=4)), 32, 32),
+        ],
+        "doc_id long, media_type string, payload binary, width int, height int",
+    )
+    feats = {r["doc_id"]: r["feature"] for r in image_features(media).collect()}
+
+    g16 = px16[:, :, 0].astype(np.float32) / 65536.0
+    exp16 = g16.sum(axis=0, dtype=np.float64)[:16].astype(np.float32)
+    assert feats[1] == pytest.approx(list(exp16))
+
+    rgb = pal[idx].astype(np.int64)
+    gpal = ((rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114) // 1000
+            ).astype(np.float32) / 256.0
+    exppal = gpal.sum(axis=0, dtype=np.float64)[:16].astype(np.float32)
+    assert feats[2] == pytest.approx(list(exppal))

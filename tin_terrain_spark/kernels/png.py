@@ -7,10 +7,13 @@ for one genuine format. Spec: the public PNG specification (RFC 2083 /
 W3C PNG): IHDR/IDAT/IEND chunks, per-row filter byte, filters
 0=None 1=Sub 2=Up 3=Average 4=Paeth.
 
-Scope (loud rejection outside it): 8-bit depth, color types 0 (gray),
-2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace, no palette. That
-covers the overwhelming share of ML-pipeline PNG payloads; palette /
-16-bit raise ValueError so callers fall back (multimodal falls back to
+Scope (loud rejection outside it): 8- and 16-bit depth for color types
+0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); 8-bit palette (color
+type 3, with optional tRNS alpha); no interlace, no sub-8-bit depths.
+16-bit grayscale is the realistic DEM-adjacent payload (elevation
+tiles); decode returns uint16 for 16-bit images, uint8 otherwise, and
+palette images come back expanded to RGB(A). Anything outside the
+scope raises ValueError so callers fall back (multimodal falls back to
 its deterministic stub).
 
 The row loop is sequential in H (filters are defined row-over-row) but
@@ -53,11 +56,13 @@ def _chunks(data: bytes):
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (H, W, C). Raises ValueError on
-    non-PNG bytes, unsupported variants, AND corrupt streams — the
-    single exception type is the contract callers' fallback dispatch
-    relies on (zlib/struct errors from truncated or garbage bodies are
-    wrapped, never leaked into an executor)."""
+    """PNG bytes -> (H, W, C) array: uint8 for 8-bit and palette
+    images (palette expanded to RGB, or RGBA when tRNS is present),
+    uint16 for 16-bit. Raises ValueError on non-PNG bytes, unsupported
+    variants, AND corrupt streams — the single exception type is the
+    contract callers' fallback dispatch relies on (zlib/struct errors
+    from truncated or garbage bodies are wrapped, never leaked into an
+    executor)."""
     if not is_png(data):
         raise ValueError("not a PNG stream")
     try:
@@ -69,28 +74,46 @@ def decode_png(data: bytes) -> np.ndarray:
 def _decode_png_checked(data: bytes) -> np.ndarray:
     width = height = None
     channels = None
+    depth = 8
+    color = 0
+    palette = None
+    trns = None
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color not in _CHANNELS:
+            if color == 3:
+                # palette: spec allows 1/2/4/8-bit indices; sub-byte
+                # index packing is out of scope (loud, not silent)
+                if depth != 8:
+                    raise ValueError(f"unsupported palette bit depth {depth}")
+            elif color not in _CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color}")
+            elif depth not in (8, 16):
+                raise ValueError(f"unsupported PNG bit depth {depth}")
             if interlace != 0:
                 raise ValueError("interlaced PNG unsupported")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            channels = _CHANNELS[color]
+            channels = 1 if color == 3 else _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(body) % 3 != 0 or not body:
+                raise ValueError("malformed PLTE chunk")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("palette image missing PLTE")
 
+    sampbytes = depth // 8  # filters operate on BYTES, offset by bpp
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    stride = width * channels * sampbytes
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -98,7 +121,7 @@ def _decode_png_checked(data: bytes) -> np.ndarray:
     rows = raw[:, 1:].astype(np.int32)  # headroom for the filter sums
 
     out = np.empty((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel (8-bit depth)
+    bpp = channels * sampbytes  # bytes per pixel
     zero_prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
         f = filters[y]
@@ -135,13 +158,33 @@ def _decode_png_checked(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = line.astype(np.uint8)
+    if color == 3:
+        idx = out.reshape(height, width)
+        if idx.max(initial=0) >= palette.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]  # (H, W, 3)
+        if trns is None:
+            return rgb
+        # tRNS: per-entry alpha, entries past the table are opaque
+        alpha = np.full(palette.shape[0], 255, dtype=np.uint8)
+        alpha[: min(len(trns), len(alpha))] = trns[: len(alpha)]
+        return np.dstack([rgb, alpha[idx]])
+    if depth == 16:
+        # network byte order per spec -> native uint16
+        return (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .astype(np.uint16)
+            .reshape(height, width, channels)
+        )
     return out.reshape(height, width, channels)
 
 
 def to_gray_f32(px: np.ndarray) -> np.ndarray:
-    """uint8 (H, W, C) -> float32 grayscale in [0, 1): integer ITU-R
-    601 luma (the same weights PIL's convert("L") uses), exact integer
-    arithmetic then /256 — deterministic across platforms."""
+    """uint8/uint16 (H, W, C) -> float32 grayscale in [0, 1): integer
+    ITU-R 601 luma (the same weights PIL's convert("L") uses), exact
+    integer arithmetic then /2^depth — deterministic across
+    platforms."""
+    denom = 65536.0 if px.dtype == np.uint16 else 256.0
     px = px.astype(np.int64)
     c = px.shape[2]
     if c == 1:
@@ -150,7 +193,7 @@ def to_gray_f32(px: np.ndarray) -> np.ndarray:
         g = px[:, :, 0]
     else:  # RGB / RGBA
         g = (px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114) // 1000
-    return (g.astype(np.float32)) / 256.0
+    return (g.astype(np.float32)) / denom
 
 
 def _paeth_row(line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
@@ -167,21 +210,15 @@ def _paeth_row(line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return enc
 
 
-def encode_png(px: np.ndarray, filters=None, level: int = 6) -> bytes:
-    """uint8 (H, W) or (H, W, C) -> PNG bytes. `filters` picks the
-    per-row filter type (int or list, default 0) so tests can exercise
-    every unfilter path against known pixels."""
-    if px.ndim == 2:
-        px = px[:, :, None]
-    h, w, c = px.shape
-    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    px = px.astype(np.uint8)
-    if filters is None:
-        filters = [0] * h
-    elif isinstance(filters, int):
-        filters = [filters] * h
-    stride = w * c
-    flat = px.reshape(h, stride)
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _filter_scanlines(flat: np.ndarray, bpp: int, filters) -> bytes:
+    """Apply per-row PNG filters to byte rows (H, stride) -> raw
+    scanline stream (filter byte + filtered bytes per row)."""
+    h, stride = flat.shape
     lines = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -191,28 +228,79 @@ def encode_png(px: np.ndarray, filters=None, level: int = 6) -> bytes:
             enc = flat[y]
         elif f == 1:
             shifted = np.zeros(stride, dtype=np.int32)
-            shifted[c:] = cur[:-c]
+            shifted[bpp:] = cur[:-bpp]
             enc = ((cur - shifted) & 0xFF).astype(np.uint8)
         elif f == 2:
             enc = ((cur - prev) & 0xFF).astype(np.uint8)
         elif f == 3:
             shifted = np.zeros(stride, dtype=np.int32)
-            shifted[c:] = cur[:-c]
+            shifted[bpp:] = cur[:-bpp]
             enc = ((cur - ((shifted + prev) >> 1)) & 0xFF).astype(np.uint8)
         elif f == 4:
-            enc = _paeth_row(flat[y], prev.astype(np.uint8), c)
+            enc = _paeth_row(flat[y], prev.astype(np.uint8), bpp)
         else:
             raise ValueError(f"bad filter {f}")
         lines.append(f)
         lines.extend(enc.tobytes())
         prev = cur
-    raw = zlib.compress(bytes(lines), level)
+    return bytes(lines)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+def _norm_filters(filters, h: int):
+    if filters is None:
+        return [0] * h
+    if isinstance(filters, int):
+        return [filters] * h
+    return filters
+
+
+def encode_png(px: np.ndarray, filters=None, level: int = 6) -> bytes:
+    """uint8 or uint16 (H, W) or (H, W, C) -> PNG bytes (depth 8 or
+    16 per the input dtype). `filters` picks the per-row filter type
+    (int or list, default 0) so tests can exercise every unfilter path
+    against known pixels."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if px.dtype == np.uint16:
+        depth, sampbytes = 16, 2
+        # big-endian sample bytes, as the spec's scanlines carry them
+        flat = np.frombuffer(
+            np.ascontiguousarray(px, dtype=">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * c * 2)
+    else:
+        depth, sampbytes = 8, 1
+        flat = px.astype(np.uint8).reshape(h, w * c)
+    raw = zlib.compress(
+        _filter_scanlines(flat, c * sampbytes, _norm_filters(filters, h)), level
     )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
+                       trns: np.ndarray | None = None,
+                       filters=None, level: int = 6) -> bytes:
+    """uint8 index raster (H, W) + palette (N, 3) [+ per-entry alpha
+    (M,)] -> color-type-3 PNG bytes (fixture/sink side of the palette
+    decode path)."""
+    h, w = idx.shape
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
+        raise ValueError("palette must be (N, 3) uint8")
+    if idx.max(initial=0) >= palette.shape[0]:
+        raise ValueError("palette index out of range")
+    raw = zlib.compress(
+        _filter_scanlines(
+            idx.astype(np.uint8).reshape(h, w), 1, _norm_filters(filters, h)
+        ),
+        level,
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    out = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    return out + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")

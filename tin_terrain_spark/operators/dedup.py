@@ -310,7 +310,8 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def contamination(docs: DataFrame, bench_mod: int = 97, n: int = 5,
-                  threshold: float = 0.2) -> DataFrame:
+                  threshold: float = 0.2,
+                  broadcast_bench: bool = False) -> DataFrame:
     """Training-data decontamination: flag corpus docs whose n-gram
     shingles overlap an evaluation-benchmark set (the standard
     pre-training hygiene step — e.g. 13-gram overlap in GPT-3's data
@@ -318,11 +319,15 @@ def contamination(docs: DataFrame, bench_mod: int = 97, n: int = 5,
     deterministic slice doc_id % bench_mod == 0; a real benchmark
     table joins in exactly the same shape.
 
-    Plan shape at 10^12 docs: the benchmark shingle set is tiny →
-    BROADCAST hash equi-join on the shingle string; the corpus side is
-    one scan + per-(doc, tok) dedup + per-doc count — both map-side
-    combinable. No cross join anywhere; the oracle recomputes the
-    identical rates in DuckDB.
+    Plan shape at 10^12 docs: a hash equi-join on the shingle string;
+    the corpus side is one scan + per-(doc, tok) dedup + per-doc
+    count — both map-side combinable. A REAL eval benchmark (a few
+    thousand fixed prompts) is tiny and broadcast-able; the stand-in
+    slice here grows with the corpus, so the broadcast hint is
+    OPT-IN (`broadcast_bench=True`, only when the caller knows the
+    benchmark side is small) and the default lets AQE pick the
+    strategy from observed sizes. No cross join anywhere; the oracle
+    recomputes the identical rates in DuckDB.
 
     Returns (doc_id, n_shingles, n_hits, contamination_rate,
     contaminated) for every NON-benchmark doc, zero-hit docs included.
@@ -331,10 +336,12 @@ def contamination(docs: DataFrame, bench_mod: int = 97, n: int = 5,
     bench = sh.filter(F.col("doc_id") % bench_mod == 0).select(
         F.col("tok").alias("btok")
     ).distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
     corpus = sh.filter(F.col("doc_id") % bench_mod != 0)
     totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        corpus.join(F.broadcast(bench), corpus["tok"] == bench["btok"], "inner")
+        corpus.join(bench, corpus["tok"] == bench["btok"], "inner")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -404,64 +411,78 @@ def dup_clusters(docs: DataFrame, threshold: float = 0.5,
     return connected_components(pairs, max_iters=max_iters)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iters: int = 25,
+                         stats: dict | None = None) -> DataFrame:
     """Min-label connected components over an undirected (doc_a,
-    doc_b) pair list — see dup_clusters for the algorithm contract."""
-    # symmetric edge list (propagation needs both directions). The
-    # eager localCheckpoint TRUNCATES the near_dup_pairs lineage: the
-    # loop otherwise re-analyzes the whole LSH/shingle subtree on
+    doc_b) pair list — see dup_clusters for the algorithm contract.
+    If `stats` is passed, it receives {"rounds": n} — the number of
+    propagate+jump rounds executed including the final fixpoint-
+    confirming round (the O(log diameter) evidence hook)."""
+    # symmetric edge list (propagation needs both directions) PLUS a
+    # self-loop (v,v) per vertex: with self-loops present, a single
+    # groupBy-min over the edge list computes min(own label, neighbor
+    # labels) directly — no separate vertex-table re-join per round,
+    # and no null handling (every doc_a sees at least its own label).
+    # The eager localCheckpoint TRUNCATES the near_dup_pairs lineage:
+    # the loop otherwise re-analyzes the whole LSH/shingle subtree on
     # every round's plan even though the data is cached.
-    edges = pairs.unionAll(
+    sym = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct().localCheckpoint()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-        .persist()
     )
-    labels.count()
-    try:
+    edges = sym.unionAll(
+        sym.select("doc_a", F.col("doc_a").alias("doc_b"))
+    ).distinct().localCheckpoint()
+
+    def jump(stepped: DataFrame) -> DataFrame:
+        # pointer jump: label <- label[label] (labels only shrink, so
+        # the parent's label is always <= the child's) — this is what
+        # makes rounds O(log diameter) instead of O(diameter)
+        parent = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        return (
+            stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    def potential(lbl: DataFrame):
         # convergence via the label-sum potential: labels only ever
         # decrease, so the sum is strictly decreasing until fixpoint —
         # ONE aggregate action per round (it doubles as the cache
         # materializer), no old-vs-new join. decimal(38,0) keeps the
         # sum exact at any id scale.
-        prev_sum = None
-        for _ in range(max_iters):
-            nbr_min = (
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    # round 0 needs no join at all: initial labels are the identity,
+    # so min-of-neighbor-labels == min neighbor id, straight off edges
+    labels = jump(
+        edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.min("doc_b").alias("label")
+        )
+    )
+    prev_sum = potential(labels)
+    rounds = 1
+    try:
+        for _ in range(max_iters - 1):
+            stepped = (
                 edges.join(labels, edges["doc_b"] == labels["doc_id"], "inner")
-                .groupBy("doc_a")
-                .agg(F.min("label").alias("nbr_label"))
+                .groupBy(F.col("doc_a").alias("doc_id"))
+                .agg(F.min("label").alias("label"))
             )
-            stepped = labels.join(
-                nbr_min, labels["doc_id"] == nbr_min["doc_a"], "left"
-            ).select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            # pointer jump: label <- label[label] (labels only shrink,
-            # so the parent's label is always <= the child's)
-            parent = stepped.select(
-                F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
-            )
-            new_labels = (
-                stepped.join(parent, stepped["label"] == parent["p_id"], "left")
-                .select(
-                    "doc_id",
-                    F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            cur_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            new_labels = jump(stepped)
+            cur_sum = potential(new_labels)
             labels.unpersist()
             labels = new_labels
+            rounds += 1
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        if stats is not None:
+            stats["rounds"] = rounds
         sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
         out = labels.join(sizes, "label").select(
             "doc_id",

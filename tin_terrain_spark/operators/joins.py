@@ -308,7 +308,12 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
                 )
                 .select("q_id", "qx", "qy", "cell_x", "cell_y")
             )
-            return pts_r.join(ball, ["cell_x", "cell_y"], "inner")
+            # pin the declared physical shape: both sides shuffle on
+            # the cell key. Without the hint the planner auto-broadcasts
+            # any small-sample ball (sub-threshold at test scale),
+            # silently turning the many-query plan back into the
+            # broadcast plan it exists to avoid.
+            return pts_r.join(ball.hint("SHUFFLE_HASH"), ["cell_x", "cell_y"], "inner")
         return pts_r.join(
             F.broadcast(remaining),
             (F.col("cell_x") >= F.col("qcx") - ring)

@@ -280,7 +280,11 @@ def quality_filter(docs: DataFrame,
     ok_len = F.col("n_tokens").between(min_tokens, max_tokens)
     ok_distinct = F.col("distinct_frac") >= min_distinct_frac
     ok_top_tok = F.col("top_tok_frac") <= max_top_tok_frac
-    ok_top_bigram = F.col("top_bigram_frac") <= max_top_bigram_frac
+    # docs with <2 tokens have no bigrams → top_bigram_frac is NULL
+    # from rep_signals' left join; a doc with no bigrams trivially
+    # passes the bigram-repetition ceiling, so coalesce to 0.0 (keeps
+    # `keep` a real boolean for any min_tokens, incl. min_tokens<=1)
+    ok_top_bigram = F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac
     ok_stop = F.round(F.col("n_stop") / F.col("n_tokens"), 6) >= min_stopword_frac
     return j.select(
         "doc_id",
@@ -316,12 +320,12 @@ def sql_quality_filter(min_tokens: int = 20, max_tokens: int = 100000,
              n_tokens BETWEEN {min_tokens} AND {max_tokens} AS ok_len,
              distinct_frac >= {min_distinct_frac} AS ok_distinct,
              top_tok_frac <= {max_top_tok_frac} AS ok_top_tok,
-             top_bigram_frac <= {max_top_bigram_frac} AS ok_top_bigram,
+             COALESCE(top_bigram_frac, 0.0) <= {max_top_bigram_frac} AS ok_top_bigram,
              round(CAST(n_stop AS DOUBLE) / n_tokens, 6) >= {min_stopword_frac} AS ok_stopwords,
              (n_tokens BETWEEN {min_tokens} AND {max_tokens})
                AND distinct_frac >= {min_distinct_frac}
                AND top_tok_frac <= {max_top_tok_frac}
-               AND top_bigram_frac <= {max_top_bigram_frac}
+               AND COALESCE(top_bigram_frac, 0.0) <= {max_top_bigram_frac}
                AND round(CAST(n_stop AS DOUBLE) / n_tokens, 6) >= {min_stopword_frac} AS keep
       FROM j
     """

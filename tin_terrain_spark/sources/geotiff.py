@@ -468,6 +468,14 @@ def write_geotiff(grid: Grid, path: str, compress: "bool | str" = False,
     — enough for test fixtures and for exporting Grids to
     GDAL-readable files."""
     h, w = grid.z.shape
+    if predictor == 3 and not compress:
+        # TIFF predictors are a compression-codec parameter: libtiff/
+        # GDAL ignore tag 317 on uncompressed strips, so a predictor-3
+        # no-compression file would decode as garbage everywhere but
+        # here. Refuse rather than emit a non-portable file.
+        raise ValueError("predictor=3 requires compression "
+                         "(deflate/lzw/packbits); uncompressed strips "
+                         "ignore the predictor tag in standard tooling")
     if predictor == 3:
         # inverse of the _decode_block path: per row, canonical
         # big-endian byte planes (MSB plane first), then byte-wise

@@ -279,6 +279,21 @@ class LocalTileCatalog(TileCatalog):
         # typically the per-tile mesh kernel — once per subtree
         tiles = tiles.persist()
         try:
+            # Iceberg MERGE INTO raises on multiple source rows
+            # matching one target row; the local binding must not
+            # silently accumulate duplicate tile rows instead. Same
+            # contract → same failure mode.
+            from pyspark.sql import functions as F
+
+            n_rows, n_keys = tiles.agg(
+                F.count(F.lit(1)), F.count_distinct(*[F.col(k) for k in keys])
+            ).first()
+            if n_rows != n_keys:
+                raise ValueError(
+                    f"merge source has {n_rows - n_keys} duplicate "
+                    f"{tuple(keys)} rows; MERGE INTO would fail on "
+                    "multiple matches — dedup the batch first"
+                )
             if v == 0:
                 new_state = tiles
             else:
