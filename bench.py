@@ -76,6 +76,7 @@ def bench_queries():
         "hex_cells": ("relational", QE.QUERIES_EXT["hex_cells"]),
         "h3_cells": ("relational", QE.QUERIES_EXT["h3_cells"]),
         "h3_rollup": ("relational", QE.QUERIES_EXT["h3_rollup"]),
+        "face_cells": ("relational", QE.QUERIES_EXT["face_cells"]),
         "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
         "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
         "near_dup_pairs": ("dedup", QE.QUERIES_EXT["near_dup_pairs"]),
@@ -134,7 +135,7 @@ def bench_queries():
 
 def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: int = 6,
                 knn_zoom: int | None = None, knn_grid_bits: int | None = None,
-                cc_chains: int = 8192):
+                cc_chains: int = 2048):
     """The N-vs-4N scaling workload: compute-bound, fixed input.
 
     Replicates the documents table `mult`x with fresh page ids (the
@@ -204,13 +205,16 @@ def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: i
     )
     phases["cell_agg"] = round(_time.time() - t0, 3)
 
-    # connected components over a synthetic chain forest: 8192 chains
-    # of 257 vertices (diameter 256 = 2^8). Pointer jumping makes the
-    # round count ~log2(diameter) — the phase evidences BOTH the
-    # O(log d) claim (cc_rounds ~ 10, identical at every parallelism
-    # level) and that per-round work (join+agg over ~6.3M edge rows)
-    # data-parallelizes. Chains, not stars: stars converge in 2 rounds
-    # and would only measure constants.
+    # connected components over a synthetic chain forest: `cc_chains`
+    # chains of 257 vertices (diameter 256 = 2^8). Pointer jumping
+    # makes the round count ~log2(diameter) — the phase evidences the
+    # O(log d) claim (cc_rounds identical at every parallelism level,
+    # identical cluster output) with the per-round join/agg work
+    # data-parallel. Chains, not stars: stars converge in 2 rounds.
+    # NOTE the phase is an ~10-ACTION iterative driver loop: its wall
+    # is dominated by per-round coordination + cache churn at sandbox
+    # scale, so run_scaling reports it as its own row OUTSIDE the
+    # compute-bound headline wall (NOTES.md round-5).
     from tin_terrain_spark.operators.dedup import connected_components
 
     t0 = _time.time()

@@ -182,3 +182,35 @@ def test_palette_rejections():
     no_plte = good[:33] + good[33 + 12 + 12 :]  # drop PLTE (12 hdr + 12 body)
     with pytest.raises(ValueError):
         P.decode_png(no_plte)
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_adam7_interlaced(channels, filt):
+    """Adam7: 7 sequentially-filtered sub-images on the pass lattices,
+    scattered back; odd sizes exercise empty/thin passes."""
+    px = _img(13, 11, channels, seed=channels * 10 + filt)
+    out = P.decode_png(P.encode_png(px, filters=filt, interlace=True))
+    np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize("size", [(1, 1), (2, 3), (8, 8), (9, 17)])
+def test_adam7_sizes(size):
+    h, w = size
+    px = _img(h, w, 2, seed=h * 100 + w)
+    out = P.decode_png(P.encode_png(px, filters=4, interlace=True))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_adam7_16bit_and_palette():
+    rng = np.random.RandomState(21)
+    px16 = rng.randint(0, 65536, size=(10, 7, 1)).astype(np.uint16)
+    out = P.decode_png(P.encode_png(px16, filters=3, interlace=True))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, px16)
+
+    palette = rng.randint(0, 256, size=(9, 3)).astype(np.uint8)
+    idx = rng.randint(0, 9, size=(12, 5)).astype(np.uint8)
+    out = P.decode_png(P.encode_png_palette(idx, palette, filters=1,
+                                            interlace=True))
+    np.testing.assert_array_equal(out, palette[idx])

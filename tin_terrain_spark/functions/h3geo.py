@@ -281,6 +281,162 @@ def with_face_ijk(df, res: int, lat_col: str = "lat", lng_col: str = "lng",
     return df.mapInPandas(run, schema)
 
 
+EARTH_R_MERC = 20037508.342789243 / math.pi  # Web-Mercator sphere radius
+
+
+def with_face_ijk_from_mercator(df, res: int, x_col: str = "x",
+                                y_col: str = "y"):
+    """Same as with_face_ijk but from Web-Mercator meters (the
+    engine's native point frame): inverse-Mercator to lat/lng inside
+    the SAME NumPy pass (lat = 2 atan(exp(y/R)) - pi/2), so the whole
+    transcendental chain runs in one Arrow batch kernel."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("h3_face", T.IntegerType()),
+            T.StructField("h3_i", T.LongType()),
+            T.StructField("h3_j", T.LongType()),
+            T.StructField("h3_k", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            x = pdf[x_col].to_numpy(dtype=float)
+            y = pdf[y_col].to_numpy(dtype=float)
+            lat = 2.0 * np.arctan(np.exp(y / EARTH_R_MERC)) - math.pi / 2.0
+            lng = x / EARTH_R_MERC
+            f, i, j, k = geo_to_face_ijk(lat, lng, res)
+            out = pdf.copy()
+            out["h3_face"] = f.astype(np.int32)
+            out["h3_i"] = i
+            out["h3_j"] = j
+            out["h3_k"] = k
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def with_face_ijk_cols(df, res: int, x_col: str = "x", y_col: str = "y"):
+    """Pure-Column twin of with_face_ijk_from_mercator: the whole
+    icosahedral chain — inverse Mercator, 20-way closest-face argmax
+    (array_max over a struct array; ties break to the lowest face via
+    the negated-face field, matching NumPy argmax), gnomonic scaling,
+    Class II/III rotation, nearest-center cube rounding — as JVM
+    Column algebra inside WholeStageCodegen. No UDF, no Python worker,
+    no Arrow hop: at 10^12 rows this is the plan you want (the
+    mapInPandas form above is the tested NumPy reference twin).
+
+    Staged through intermediate columns on purpose: each stage's
+    outputs are referenced several times downstream, and Catalyst's
+    CollapseProject keeps multi-referenced non-trivial aliases as
+    separate projections — inlining everything into one expression
+    would re-embed the 20-struct array once per reference and blow the
+    tree up exponentially (measured: the single-projection form never
+    finished analysis)."""
+    from pyspark.sql import functions as F
+
+    lat = 2.0 * F.atan(F.exp(F.col(y_col) / F.lit(EARTH_R_MERC))) - math.pi / 2.0
+    lng = F.col(x_col) / F.lit(EARTH_R_MERC)
+    out = (
+        df.withColumn("_lng", lng)
+        .withColumn("_slat", F.sin(lat))
+        .withColumn("_clat", F.cos(lat))
+    )
+
+    entries = []
+    for f in range(20):
+        fc_lat = float(FACE_CENTER_GEO[f, 0])
+        fc_lng = float(FACE_CENTER_GEO[f, 1])
+        dot = F.col("_slat") * math.sin(fc_lat) + F.col("_clat") * math.cos(
+            fc_lat
+        ) * F.cos(F.col("_lng") - F.lit(fc_lng))
+        entries.append(
+            F.struct(
+                dot.alias("dot"),
+                F.lit(-f).alias("negface"),
+                F.lit(fc_lat).alias("clat"),
+                F.lit(fc_lng).alias("clng"),
+                F.lit(float(FACE_AXES_AZ_I[f])).alias("az0"),
+            )
+        )
+    out = out.withColumn("_best", F.array_max(F.array(*entries)))
+
+    r = F.acos(
+        F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("_best.dot")))
+    )
+    az = F.atan2(
+        F.col("_clat") * F.sin(F.col("_lng") - F.col("_best.clng")),
+        F.cos(F.col("_best.clat")) * F.col("_slat")
+        - F.sin(F.col("_best.clat")) * F.col("_clat")
+        * F.cos(F.col("_lng") - F.col("_best.clng")),
+    )
+    theta = F.col("_best.az0") - az
+    if res % 2 == 1:
+        theta = theta - AP7_ROT_RADS
+    scale = (SQRT7 ** res) / RES0_U_GNOMONIC
+    out = (
+        out.withColumn("_r", r)
+        .withColumn("_theta", theta)
+        .withColumn(
+            "_r2d",
+            F.when(F.col("_r") < _EPS, F.lit(0.0)).otherwise(
+                F.tan(F.col("_r")) * scale
+            ),
+        )
+        .withColumn("_hx", F.col("_r2d") * F.cos(F.col("_theta")))
+        .withColumn("_hy", F.col("_r2d") * F.sin(F.col("_theta")))
+    )
+
+    dj = F.col("_hy") / _SQRT3_2
+    out = (
+        out.withColumn("_a", F.col("_hx") + dj / 2.0)
+        .withColumn("_b", -dj)
+        .withColumn("_c", -F.col("_a") - F.col("_b"))
+        .withColumn("_ra", F.round(F.col("_a")))
+        .withColumn("_rb", F.round(F.col("_b")))
+        .withColumn("_rc", F.round(F.col("_c")))
+    )
+    da = F.abs(F.col("_ra") - F.col("_a"))
+    db = F.abs(F.col("_rb") - F.col("_b"))
+    dc = F.abs(F.col("_rc") - F.col("_c"))
+    fix_a = (da >= db) & (da >= dc)
+    fa = F.when(fix_a, -(F.col("_rb") + F.col("_rc"))).otherwise(F.col("_ra"))
+    fb = F.when(~fix_a & (db >= dc), -(F.col("_ra") + F.col("_rc"))).otherwise(
+        F.col("_rb")
+    )
+    out = (
+        out.withColumn("_i0", fa.cast("bigint"))
+        .withColumn("_j0", (-fb).cast("bigint"))
+    )
+    m = F.least(F.col("_i0"), F.col("_j0"), F.lit(0).cast("bigint"))
+    out = (
+        out.withColumn("h3_face", (-F.col("_best.negface")).cast("int"))
+        .withColumn("_m", m)
+        .withColumn("h3_i", F.col("_i0") - F.col("_m"))
+        .withColumn("h3_j", F.col("_j0") - F.col("_m"))
+        .withColumn("h3_k", -F.col("_m"))
+    )
+    return out.drop(
+        "_lng", "_slat", "_clat", "_best", "_r", "_theta", "_r2d", "_hx",
+        "_hy", "_a", "_b", "_c", "_ra", "_rb", "_rc", "_i0", "_j0", "_m"
+    )
+
+
+def face_table_sql() -> str:
+    """The 20-face constant table as a SQL VALUES relation (17-digit
+    round-trip literals — both engines parse them to identical
+    doubles): (face, clat, clng, az0)."""
+    rows = ", ".join(
+        f"({f}, {FACE_CENTER_GEO[f, 0]!r}, {FACE_CENTER_GEO[f, 1]!r}, "
+        f"{FACE_AXES_AZ_I[f]!r})"
+        for f in range(20)
+    )
+    return f"(VALUES {rows}) AS f(face, clat, clng, az0)"
+
+
 # --- base-cell injection point ---------------------------------------
 
 _BASE_CELL_TABLES = None

@@ -9,7 +9,8 @@ W3C PNG): IHDR/IDAT/IEND chunks, per-row filter byte, filters
 
 Scope (loud rejection outside it): 8- and 16-bit depth for color types
 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); 8-bit palette (color
-type 3, with optional tRNS alpha); no interlace, no sub-8-bit depths.
+type 3, with optional tRNS alpha); Adam7 interlace; no sub-8-bit
+depths.
 16-bit grayscale is the realistic DEM-adjacent payload (elevation
 tiles); decode returns uint16 for 16-bit images, uint8 otherwise, and
 palette images come back expanded to RGB(A). Anything outside the
@@ -71,57 +72,25 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt PNG stream: {e}") from e
 
 
-def _decode_png_checked(data: bytes) -> np.ndarray:
-    width = height = None
-    channels = None
-    depth = 8
-    color = 0
-    palette = None
-    trns = None
-    idat = bytearray()
-    for ctype, body in _chunks(data):
-        if ctype == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if color == 3:
-                # palette: spec allows 1/2/4/8-bit indices; sub-byte
-                # index packing is out of scope (loud, not silent)
-                if depth != 8:
-                    raise ValueError(f"unsupported palette bit depth {depth}")
-            elif color not in _CHANNELS:
-                raise ValueError(f"unsupported PNG color type {color}")
-            elif depth not in (8, 16):
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
-            if comp != 0 or filt != 0:
-                raise ValueError("nonstandard compression/filter method")
-            channels = 1 if color == 3 else _CHANNELS[color]
-        elif ctype == b"PLTE":
-            if len(body) % 3 != 0 or not body:
-                raise ValueError("malformed PLTE chunk")
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"tRNS" and color == 3:
-            trns = np.frombuffer(body, dtype=np.uint8)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-    if width is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    if color == 3 and palette is None:
-        raise ValueError("palette image missing PLTE")
+# Adam7 pass lattices: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    sampbytes = depth // 8  # filters operate on BYTES, offset by bpp
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels * sampbytes
-    if len(raw) != height * (stride + 1):
+
+def _unfilter_scanlines(raw, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-row PNG filtering: raw scanline stream (filter byte
+    + filtered bytes per row, height*(stride+1) bytes) -> (height,
+    stride) uint8. Row-sequential by spec; Up/None vectorize fully,
+    Sub/Average/Paeth carry within the row."""
+    raw = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
         raise ValueError("PNG data length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    raw = raw.reshape(height, stride + 1)
     filters = raw[:, 0]
     rows = raw[:, 1:].astype(np.int32)  # headroom for the filter sums
-
     out = np.empty((height, stride), dtype=np.uint8)
-    bpp = channels * sampbytes  # bytes per pixel
     zero_prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
         f = filters[y]
@@ -158,6 +127,77 @@ def _decode_png_checked(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = line.astype(np.uint8)
+    return out
+
+
+def _decode_png_checked(data: bytes) -> np.ndarray:
+    width = height = None
+    channels = None
+    depth = 8
+    color = 0
+    interlace = 0
+    palette = None
+    trns = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color == 3:
+                # palette: spec allows 1/2/4/8-bit indices; sub-byte
+                # index packing is out of scope (loud, not silent)
+                if depth != 8:
+                    raise ValueError(f"unsupported palette bit depth {depth}")
+            elif color not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            elif depth not in (8, 16):
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+            channels = 1 if color == 3 else _CHANNELS[color]
+        elif ctype == b"PLTE":
+            if len(body) % 3 != 0 or not body:
+                raise ValueError("malformed PLTE chunk")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    if color == 3 and palette is None:
+        raise ValueError("palette image missing PLTE")
+
+    sampbytes = depth // 8  # filters operate on BYTES, offset by bpp
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels * sampbytes  # bytes per pixel
+    pxbytes = channels * sampbytes
+    if interlace == 0:
+        stride = width * pxbytes
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        out = _unfilter_scanlines(raw, height, stride, bpp)
+    else:
+        # Adam7: 7 sequentially-filtered sub-images scattered on the
+        # (x0, y0, dx, dy) lattices; empty passes contribute 0 bytes
+        out = np.empty((height, width * pxbytes), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * pxbytes
+            chunk_len = ph * (pstride + 1)
+            sub = _unfilter_scanlines(raw[pos : pos + chunk_len], ph, pstride, bpp)
+            pos += chunk_len
+            cols = (x0 + dx * np.arange(pw))[:, None] * pxbytes + np.arange(pxbytes)
+            out[y0::dy, cols.reshape(-1)] = sub
+        if pos != len(raw):
+            raise ValueError("PNG data length mismatch")
     if color == 3:
         idx = out.reshape(height, width)
         if idx.max(initial=0) >= palette.shape[0]:
@@ -254,28 +294,46 @@ def _norm_filters(filters, h: int):
     return filters
 
 
-def encode_png(px: np.ndarray, filters=None, level: int = 6) -> bytes:
+def _byte_rows(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) samples -> (h, w*c*sampbytes) byte rows (big-endian
+    sample order for 16-bit, as the spec's scanlines carry them)."""
+    h, w, c = px.shape
+    if px.dtype == np.uint16:
+        return np.frombuffer(
+            np.ascontiguousarray(px, dtype=">u2").tobytes(), dtype=np.uint8
+        ).reshape(h, w * c * 2)
+    return np.ascontiguousarray(px, dtype=np.uint8).reshape(h, w * c)
+
+
+def encode_png(px: np.ndarray, filters=None, level: int = 6,
+               interlace: bool = False) -> bytes:
     """uint8 or uint16 (H, W) or (H, W, C) -> PNG bytes (depth 8 or
     16 per the input dtype). `filters` picks the per-row filter type
     (int or list, default 0) so tests can exercise every unfilter path
-    against known pixels."""
+    against known pixels; interlace=True writes Adam7 (each pass
+    filtered as its own sub-image, per spec)."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    if px.dtype == np.uint16:
-        depth, sampbytes = 16, 2
-        # big-endian sample bytes, as the spec's scanlines carry them
-        flat = np.frombuffer(
-            np.ascontiguousarray(px, dtype=">u2").tobytes(), dtype=np.uint8
-        ).reshape(h, w * c * 2)
+    depth = 16 if px.dtype == np.uint16 else 8
+    bpp = c * (depth // 8)
+    if interlace:
+        stream = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            stream += _filter_scanlines(
+                _byte_rows(sub), bpp, _norm_filters(filters, sub.shape[0])
+            )
+        raw = zlib.compress(bytes(stream), level)
     else:
-        depth, sampbytes = 8, 1
-        flat = px.astype(np.uint8).reshape(h, w * c)
-    raw = zlib.compress(
-        _filter_scanlines(flat, c * sampbytes, _norm_filters(filters, h)), level
-    )
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = zlib.compress(
+            _filter_scanlines(_byte_rows(px), bpp, _norm_filters(filters, h)),
+            level,
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     return (
         _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
     )
@@ -283,7 +341,8 @@ def encode_png(px: np.ndarray, filters=None, level: int = 6) -> bytes:
 
 def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
                        trns: np.ndarray | None = None,
-                       filters=None, level: int = 6) -> bytes:
+                       filters=None, level: int = 6,
+                       interlace: bool = False) -> bytes:
     """uint8 index raster (H, W) + palette (N, 3) [+ per-entry alpha
     (M,)] -> color-type-3 PNG bytes (fixture/sink side of the palette
     decode path)."""
@@ -293,13 +352,23 @@ def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
         raise ValueError("palette must be (N, 3) uint8")
     if idx.max(initial=0) >= palette.shape[0]:
         raise ValueError("palette index out of range")
-    raw = zlib.compress(
-        _filter_scanlines(
-            idx.astype(np.uint8).reshape(h, w), 1, _norm_filters(filters, h)
-        ),
-        level,
-    )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    idx8 = idx.astype(np.uint8)
+    if interlace:
+        stream = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = idx8[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            stream += _filter_scanlines(
+                np.ascontiguousarray(sub), 1, _norm_filters(filters, sub.shape[0])
+            )
+        raw = zlib.compress(bytes(stream), level)
+    else:
+        raw = zlib.compress(
+            _filter_scanlines(idx8.reshape(h, w), 1, _norm_filters(filters, h)),
+            level,
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
     out = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
     if trns is not None:
         out += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())

@@ -429,19 +429,36 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     sym = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    edges = sym.unionAll(
-        sym.select("doc_a", F.col("doc_a").alias("doc_b"))
-    ).distinct().localCheckpoint()
+    # the edge list is the LOOP-INVARIANT big side: hash-partition it
+    # by the join key ONCE before the checkpoint (the checkpoint
+    # preserves partitioning), so per-round joins never re-shuffle it —
+    # only the (smaller) label table moves each round. SHUFFLE_HASH
+    # everywhere: sort-merge pays two O(n log n) sorts per join per
+    # round for no benefit (keys are unique on the build side, no
+    # skew beyond node degree on the probe side).
+    spark = pairs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    edges = (
+        sym.unionAll(sym.select("doc_a", F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .repartition(n_part, "doc_b")
+        .localCheckpoint()
+    )
 
     def jump(stepped: DataFrame) -> DataFrame:
         # pointer jump: label <- label[label] (labels only shrink, so
         # the parent's label is always <= the child's) — this is what
-        # makes rounds O(log diameter) instead of O(diameter)
+        # makes rounds O(log diameter) instead of O(diameter).
+        # `stepped` feeds BOTH sides of the self-join; callers pass it
+        # materialized (checkpointed) so the subtree runs once.
         parent = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
         return (
-            stepped.join(parent, stepped["label"] == parent["p_id"], "left")
+            stepped.join(
+                parent.hint("SHUFFLE_HASH"),
+                stepped["label"] == parent["p_id"], "left"
+            )
             .select(
                 "doc_id",
                 F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
@@ -457,32 +474,47 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
         # sum exact at any id scale.
         return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
+    import time as _time
+
+    round_s = []
     # round 0 needs no join at all: initial labels are the identity,
     # so min-of-neighbor-labels == min neighbor id, straight off edges
-    labels = jump(
-        edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
-            F.min("doc_b").alias("label")
-        )
+    _t0 = _time.time()
+    step0 = (
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("label"))
+        .localCheckpoint()
     )
+    labels = jump(step0)
     prev_sum = potential(labels)
+    step0.unpersist()
+    round_s.append(round(_time.time() - _t0, 3))
     rounds = 1
     try:
         for _ in range(max_iters - 1):
+            _t0 = _time.time()
             stepped = (
-                edges.join(labels, edges["doc_b"] == labels["doc_id"], "inner")
+                edges.join(
+                    labels.hint("SHUFFLE_HASH"),
+                    edges["doc_b"] == labels["doc_id"], "inner"
+                )
                 .groupBy(F.col("doc_a").alias("doc_id"))
                 .agg(F.min("label").alias("label"))
+                .localCheckpoint()
             )
             new_labels = jump(stepped)
             cur_sum = potential(new_labels)
+            stepped.unpersist()
             labels.unpersist()
             labels = new_labels
             rounds += 1
+            round_s.append(round(_time.time() - _t0, 3))
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
         if stats is not None:
             stats["rounds"] = rounds
+            stats["round_s"] = round_s
         sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
         out = labels.join(sizes, "label").select(
             "doc_id",

@@ -976,3 +976,121 @@ ORACLES_EXT["dup_clusters"] = D.sql_dup_clusters(
 )
 ORACLES_EXT["pip_convex"] = SQL_PIP_CONVEX
 ORACLES_EXT["near_dup_pairs"] = _sql_near_dup_pairs()
+
+
+# --------------------------------------------------------------------------
+# icosahedral H3 face cells (functions/h3geo.py)
+# --------------------------------------------------------------------------
+
+FACE_RES = 2  # Class II: ~5.9k cells globally, every face populated
+
+
+def q_face_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-icosahedral-cell doc counts at res 2: Mercator x/y come
+    from the shared exact integer-hash expressions (bit-identical in
+    both engines); inverse-Mercator + closest-face gnomonic projection
+    + nearest-center CoordIJK run as pure Column algebra
+    (h3geo.face_ijk_cols — array_max over a 20-face struct array,
+    whole-stage codegen, no UDF). The DuckDB oracle recomputes the
+    ENTIRE transcendental chain in SQL over the same 20-face constant
+    table — a fully independent second implementation of the
+    icosahedral front-end."""
+    from .functions import h3geo as HG
+
+    pts = geocode_points(
+        _docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False
+    ).select("doc_id", "x", "y")
+    # pure-Column chain (JVM codegen, no Python stage); the
+    # mapInPandas NumPy twin is crosschecked cell-for-cell in
+    # tests/test_h3geo.py::test_column_twin_equals_numpy_kernel
+    cells = HG.with_face_ijk_cols(pts, res=FACE_RES)
+    return cells.groupBy("h3_face", "h3_i", "h3_j", "h3_k").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _sql_face_cells(res: int = FACE_RES) -> str:
+    from .functions import geocode_exprs as _GX
+    from .functions import h3geo as HG
+
+    x = _GX.mercator_x_sql("doc_id")
+    y = _GX.mercator_y_sql("doc_id")
+    R = repr(HG.EARTH_R_MERC)
+    half_pi = repr(__import__("math").pi / 2.0)
+    scale = repr((HG.SQRT7 ** res) / HG.RES0_U_GNOMONIC)
+    s32 = repr(HG._SQRT3_2)
+    rot = "" if res % 2 == 0 else f" - {HG.AP7_ROT_RADS!r}"
+    return f"""
+      WITH pts AS (SELECT doc_id, {x} AS x, {y} AS y FROM documents),
+      ll AS (
+        SELECT doc_id, 2e0 * atan(exp(y / {R})) - {half_pi} AS lat,
+               x / {R} AS lng
+        FROM pts
+      ),
+      scored AS (
+        SELECT ll.doc_id, ll.lat, ll.lng, f.face, f.clat, f.clng, f.az0,
+               sin(lat)*sin(clat) + cos(lat)*cos(clat)*cos(lng - clng) AS dot,
+               row_number() OVER (
+                 PARTITION BY ll.doc_id
+                 ORDER BY sin(lat)*sin(clat) + cos(lat)*cos(clat)*cos(lng - clng) DESC,
+                          f.face ASC
+               ) AS rn
+        FROM ll CROSS JOIN {HG.face_table_sql()}
+      ),
+      proj AS (
+        SELECT doc_id, face,
+               acos(least(1e0, greatest(-1e0, dot))) AS r,
+               az0 - atan2(
+                 cos(lat)*sin(lng - clng),
+                 cos(clat)*sin(lat) - sin(clat)*cos(lat)*cos(lng - clng)
+               ){rot} AS theta
+        FROM scored WHERE rn = 1
+      ),
+      hex AS (
+        SELECT doc_id, face,
+               (CASE WHEN r < 1e-11 THEN 0e0 ELSE tan(r) * {scale} END)
+                 * cos(theta) AS hx,
+               (CASE WHEN r < 1e-11 THEN 0e0 ELSE tan(r) * {scale} END)
+                 * sin(theta) AS hy
+        FROM proj
+      ),
+      frac AS (
+        SELECT doc_id, face,
+               hx + (hy / {s32}) / 2e0 AS a0,
+               -(hy / {s32}) AS b0,
+               -(hx + (hy / {s32}) / 2e0) - (-(hy / {s32})) AS c0
+        FROM hex
+      ),
+      rnd AS (
+        SELECT doc_id, face, a0, b0, c0,
+               round(a0) AS ra, round(b0) AS rb, round(c0) AS rc
+        FROM frac
+      ),
+      fixed AS (
+        SELECT doc_id, face,
+               CASE WHEN abs(ra-a0) >= abs(rb-b0) AND abs(ra-a0) >= abs(rc-c0)
+                    THEN -(rb + rc) ELSE ra END AS fa,
+               CASE WHEN NOT (abs(ra-a0) >= abs(rb-b0) AND abs(ra-a0) >= abs(rc-c0))
+                         AND abs(rb-b0) >= abs(rc-c0)
+                    THEN -(ra + rc) ELSE rb END AS fb
+        FROM rnd
+      ),
+      ijk AS (
+        SELECT doc_id, face,
+               CAST(fa AS BIGINT) AS i0, CAST(-fb AS BIGINT) AS j0
+        FROM fixed
+      ),
+      norm AS (
+        SELECT doc_id, face, i0 - m AS i, j0 - m AS j, -m AS k
+        FROM (SELECT doc_id, face, i0, j0,
+                     least(i0, j0, CAST(0 AS BIGINT)) AS m FROM ijk)
+      )
+      SELECT CAST(face AS INTEGER) AS h3_face, i AS h3_i, j AS h3_j, k AS h3_k,
+             count(*) AS n_docs, min(doc_id) AS first_doc
+      FROM norm GROUP BY 1, 2, 3, 4
+    """
+
+
+QUERIES_EXT["face_cells"] = q_face_cells
+ORACLES_EXT["face_cells"] = _sql_face_cells()
