@@ -117,6 +117,7 @@ def bench_queries():
         "winnow": ("dedup", QE.QUERIES_EXT["winnow"]),
         "contamination": ("dedup", QE.QUERIES_EXT["contamination"]),
         "dup_clusters": ("dedup", QE.QUERIES_EXT["dup_clusters"]),
+        "dedup_keep": ("dedup", QE.QUERIES_EXT["dedup_keep"]),
         "rep_signals": ("text", QE.QUERIES_EXT["rep_signals"]),
         "quality_filter": ("text", QE.QUERIES_EXT["quality_filter"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),

@@ -643,3 +643,26 @@ def test_image_features_16bit_and_palette_png_path(spark):
             ).astype(np.float32) / 256.0
     exppal = gpal.sum(axis=0, dtype=np.float64)[:16].astype(np.float32)
     assert feats[2] == pytest.approx(list(exppal))
+
+
+def test_dedup_keep_semantics(spark):
+    """dedup_keep contract on a hand-built corpus: cluster minima and
+    singleton docs keep; transitive duplicates drop — A~B, B~C must
+    drop BOTH B and C even though A~C is never a pair."""
+    from tin_terrain_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)],
+                                 "doc_id BIGINT")
+    from pyspark.sql import functions as F
+
+    cc = connected_components(pairs).select("doc_id", "cluster_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in docs.join(cc, "doc_id", "left")
+           .select("doc_id", cid.alias("cluster_id"),
+                   (cid == F.col("doc_id")).alias("keep")).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 7: (7, True), 9: (7, False)}

@@ -1094,3 +1094,36 @@ def _sql_face_cells(res: int = FACE_RES) -> str:
 
 QUERIES_EXT["face_cells"] = q_face_cells
 ORACLES_EXT["face_cells"] = _sql_face_cells()
+
+
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual OUTPUT: a per-doc keep/drop
+    decision over the whole corpus. keep = the doc is its near-dup
+    cluster's minimum id (cluster = connected components over the
+    near-dup graph; docs with no near-duplicate are their own cluster
+    and keep trivially). One left equi-join of the corpus against the
+    (small) cluster table — scales to any corpus size."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = _shared_near_dup_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
+    cc = D.connected_components(pairs).select("doc_id", "cluster_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        cid.alias("cluster_id"),
+        (cid == F.col("doc_id")).alias("keep"),
+    )
+
+
+def _sql_dedup_keep() -> str:
+    inner = D.sql_dup_clusters(pairs_sql=_sql_near_dup_pairs())
+    return f"""
+      WITH cl AS ({inner})
+      SELECT d.doc_id,
+             COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+             COALESCE(cl.cluster_id, d.doc_id) = d.doc_id AS keep
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    """
+
+
+QUERIES_EXT["dedup_keep"] = q_dedup_keep
+ORACLES_EXT["dedup_keep"] = _sql_dedup_keep()
