@@ -94,6 +94,14 @@ def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None"
         except ValueError:
             return None
         return px[: min(int(height), 32), : min(int(width), 32)]
+    from ..kernels import jpeg as _jpeg
+
+    if _jpeg.is_jpeg(payload):
+        try:
+            px = _png.to_gray_f32(_jpeg.decode_jpeg(payload))
+        except ValueError:
+            return None
+        return px[: min(int(height), 32), : min(int(width), 32)]
     return None
 
 
