@@ -120,3 +120,14 @@ def test_multimodal_dispatch_uses_jpeg():
     # non-image payloads still fall back to the stub
     stub = M._decode_pixels(b"abcdef0123456789", 32, 32)
     assert not np.allclose(stub, expect, atol=4.0 / 256.0)
+
+
+@pytest.mark.parametrize("size", [(16, 16), (37, 53)])
+def test_rgb_422_roundtrip(size):
+    rgb = _smooth_rgb(*size)
+    out = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsample="422"))
+    assert out.shape == rgb.shape
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 6
+    rst = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsample="422",
+                                      restart_interval=2))
+    np.testing.assert_array_equal(out, rst)

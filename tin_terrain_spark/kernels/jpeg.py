@@ -526,9 +526,9 @@ def encode_jpeg(px: np.ndarray, quality: int = 85,
     h, w, nc = px.shape
     if nc not in (1, 3):
         raise ValueError("encode_jpeg supports 1 or 3 channels")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be 444 or 420")
-    if subsample == "420" and nc == 1:
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be 444, 422 or 420")
+    if subsample != "444" and nc == 1:
         subsample = "444"
     px = px.astype(np.float64)
     if nc == 3:
@@ -536,19 +536,21 @@ def encode_jpeg(px: np.ndarray, quality: int = 85,
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsample == "420":
-            def down2(p):
-                hh = -(-p.shape[0] // 2) * 2
-                ww = -(-p.shape[1] // 2) * 2
-                q = np.empty((hh, ww))
-                q[: p.shape[0], : p.shape[1]] = p
-                q[p.shape[0]:, : p.shape[1]] = p[-1:, :]
-                q[:, p.shape[1]:] = q[:, p.shape[1] - 1 : p.shape[1]]
-                return 0.25 * (q[0::2, 0::2] + q[1::2, 0::2]
-                               + q[0::2, 1::2] + q[1::2, 1::2])
+        def _downs(p, fy, fx):
+            hh = -(-p.shape[0] // fy) * fy
+            ww = -(-p.shape[1] // fx) * fx
+            q = np.empty((hh, ww))
+            q[: p.shape[0], : p.shape[1]] = p
+            q[p.shape[0]:, : p.shape[1]] = p[-1:, : p.shape[1]]
+            q[:, p.shape[1]:] = q[:, p.shape[1] - 1 : p.shape[1]]
+            return q.reshape(hh // fy, fy, ww // fx, fx).mean(axis=(1, 3))
 
-            planes = [y, down2(cb), down2(cr)]
+        if subsample == "420":
+            planes = [y, _downs(cb, 2, 2), _downs(cr, 2, 2)]
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsample == "422":
+            planes = [y, _downs(cb, 1, 2), _downs(cr, 1, 2)]
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             samp = [(1, 1)] * 3
