@@ -223,14 +223,24 @@ def test_unsupported_compression_is_loud():
         write_geotiff(g, f.name)
         buf = bytearray(open(f.name, "rb").read())
         os.unlink(f.name)
-    # find compression entry (tag 259) and overwrite its value with 7
+    # find compression entry (tag 259) and overwrite its value with
+    # 34712 (JPEG2000 — genuinely unsupported)
     (n,) = struct.unpack("<H", buf[8:10])
     for i in range(n):
         e = 10 + 12 * i
         (tag,) = struct.unpack("<H", buf[e : e + 2])
         if tag == 259:
-            buf[e + 8 : e + 10] = struct.pack("<H", 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+            buf[e + 8 : e + 10] = struct.pack("<H", 34712 & 0xFFFF)
+    with pytest.raises(NotImplementedError, match="compression"):
+        read_geotiff(bytes(buf))
+
+    # old-style JPEG (6) gets its own actionable message
+    for i in range(n):
+        e = 10 + 12 * i
+        (tag,) = struct.unpack("<H", buf[e : e + 2])
+        if tag == 259:
+            buf[e + 8 : e + 10] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="old-style JPEG"):
         read_geotiff(bytes(buf))
 
 
@@ -400,7 +410,7 @@ def _pack_classic_tiff(entries, strips, bo="<"):
     entries = sorted(entries, key=lambda e: e[0])
     n = len(entries)
     overflow_off = 8 + 2 + 12 * n + 4
-    fmts = {3: "H", 4: "I", 12: "d"}
+    fmts = {3: "H", 4: "I", 7: "B", 12: "d"}
     over_bytes = sum(
         struct.calcsize(fmts[t]) * c
         for _, t, c, _ in entries
@@ -481,3 +491,131 @@ def test_predictor3_requires_compression(tmp_path):
     g = _sample_grid()
     with pytest.raises(ValueError, match="predictor=3 requires compression"):
         write_geotiff(g, str(tmp_path / "bad.tif"), compress=False, predictor=3)
+
+
+# ---------------------------------------------------------------------------
+# New-style JPEG compression (tag 7) — TIFF Technical Note 2
+# ---------------------------------------------------------------------------
+
+def _split_jpeg_tables(data: bytes):
+    """Split a standalone baseline JPEG into (JPEGTables stream,
+    abbreviated image stream) per TTN2: DQT/DHT segments move to a
+    `SOI tables EOI` stream; everything else (SOF, DRI, SOS + entropy
+    data) stays in the per-block stream."""
+    pos = 2
+    tables = b""
+    rest = b""
+    while True:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: scan data runs to EOI
+            rest += data[pos:]
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + seglen
+    return b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + rest
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    return (120 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)).astype(np.uint8)
+
+
+def test_jpeg_compressed_strips_standalone():
+    """Compression 7, grayscale, each strip a standalone JPEG: the
+    reader must reproduce the codec's own decode exactly."""
+    from tin_terrain_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    h, w, rps = 21, 30, 8
+    z = _smooth(h, w)
+    strips = []
+    for r0 in range(0, h, rps):
+        strips.append(encode_jpeg(z[r0 : r0 + rps], quality=95))
+    entries = [
+        (256, 4, 1, (w,)), (257, 4, 1, (h,)), (258, 3, 1, (8,)),
+        (259, 3, 1, (7,)), (262, 3, 1, (1,)), (277, 3, 1, (1,)),
+        (278, 4, 1, (rps,)),
+        (273, 4, len(strips), None),
+        (279, 4, len(strips), tuple(len(s) for s in strips)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
+    ]
+    g = read_geotiff(_pack_classic_tiff(entries, strips))
+    expect = np.vstack([
+        decode_jpeg(s)[:, :, 0] for s in strips
+    ]).astype(np.float64)
+    np.testing.assert_array_equal(g.z, expect)
+    # lossy but close on a smooth field at q95
+    assert np.max(np.abs(g.z - z.astype(np.float64))) <= 4.0
+
+
+def test_jpeg_compressed_strips_shared_jpegtables():
+    """Compression 7 with the shared-tables layout: DQT/DHT live once
+    in tag 347; per-strip streams are abbreviated. The reader must
+    splice and decode identically to the standalone streams."""
+    from tin_terrain_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    h, w, rps = 16, 24, 8
+    z = _smooth(h, w)
+    full = [encode_jpeg(z[r0 : r0 + rps], quality=90) for r0 in range(0, h, rps)]
+    tables0, strip0 = _split_jpeg_tables(full[0])
+    tables1, strip1 = _split_jpeg_tables(full[1])
+    assert tables0 == tables1  # same quality -> identical shared tables
+    strips = [strip0, strip1]
+    entries = [
+        (256, 4, 1, (w,)), (257, 4, 1, (h,)), (258, 3, 1, (8,)),
+        (259, 3, 1, (7,)), (262, 3, 1, (1,)), (277, 3, 1, (1,)),
+        (278, 4, 1, (rps,)),
+        (273, 4, 2, None), (279, 4, 2, tuple(len(s) for s in strips)),
+        (347, 7, len(tables0), tuple(tables0)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
+    ]
+    g = read_geotiff(_pack_classic_tiff(entries, strips))
+    expect = np.vstack([decode_jpeg(s)[:, :, 0] for s in full]).astype(np.float64)
+    np.testing.assert_array_equal(g.z, expect)
+
+
+def test_jpeg_compressed_tiles_ycbcr_band1():
+    """Compression 7, tiled, 3-channel YCbCr 4:2:0 (photometric 6):
+    band 1 must equal the R channel of the codec's own decode, with
+    edge-tile padding cropped."""
+    from tin_terrain_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    h, w, ts = 24, 28, 16
+    rng = np.random.RandomState(7)
+    base = _smooth(h, w).astype(np.float64)
+    rgb = np.stack(
+        [base, np.roll(base, 3, axis=1), 255 - base], axis=2
+    ).astype(np.uint8)
+    tiles, dec = [], {}
+    for ty in range(2):
+        for tx in range(2):
+            block = np.zeros((ts, ts, 3), dtype=np.uint8)
+            r0, c0 = ty * ts, tx * ts
+            rr, cc = min(ts, h - r0), min(ts, w - c0)
+            block[:rr, :cc] = rgb[r0 : r0 + rr, c0 : c0 + cc]
+            enc = encode_jpeg(block, quality=92, subsample="420")
+            tiles.append(enc)
+            dec[(ty, tx)] = decode_jpeg(enc)[:, :, 0]
+    entries = [
+        (256, 4, 1, (w,)), (257, 4, 1, (h,)),
+        (258, 3, 3, (8, 8, 8)),
+        (259, 3, 1, (7,)), (262, 3, 1, (6,)), (277, 3, 1, (3,)),
+        (322, 4, 1, (ts,)), (323, 4, 1, (ts,)),
+        (324, 4, 4, None), (325, 4, 4, tuple(len(t) for t in tiles)),
+        (33550, 12, 3, (1.0, 1.0, 0.0)),
+        (33922, 12, 6, (0.0, 0.0, 0.0, 0.0, float(h), 0.0)),
+    ]
+    g = read_geotiff(_pack_classic_tiff(entries, tiles))
+    expect = np.zeros((h, w), dtype=np.float64)
+    for (ty, tx), blk in dec.items():
+        r0, c0 = ty * ts, tx * ts
+        rr, cc = min(ts, h - r0), min(ts, w - c0)
+        expect[r0 : r0 + rr, c0 : c0 + cc] = blk[:rr, :cc]
+    np.testing.assert_array_equal(g.z, expect)

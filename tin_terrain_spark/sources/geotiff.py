@@ -3,7 +3,9 @@ GDAL.
 
 A pure-NumPy reader for the GeoTIFF subset that DEM rasters actually
 use — classic TIFF (little/big endian), single band, strip or tile
-organization, compression none/deflate/LZW/PackBits, horizontal
+organization, compression none/deflate/LZW/PackBits/new-style-JPEG
+(tag 7, shared JPEGTables supported — decoded by the in-repo baseline
+T.81 codec, kernels/jpeg.py), horizontal
 predictor, uint/int/float samples, ModelPixelScale + ModelTiepoint or
 axis-aligned ModelTransformation georef (files with NO georef raise),
 optional EPSG:3857 GeoKey validation matching the reference's
@@ -40,6 +42,7 @@ _TYPES = {
     4: ("I", 4),   # LONG
     5: ("II", 8),  # RATIONAL
     6: ("b", 1),
+    7: ("B", 1),   # UNDEFINED (byte blob — e.g. JPEGTables, tag 347)
     8: ("h", 2),
     9: ("i", 4),
     11: ("f", 4),  # FLOAT
@@ -63,6 +66,7 @@ _TAG_TILE_H = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
+_TAG_JPEG_TABLES = 347
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
 _TAG_MODEL_TRANSFORMATION = 34264
@@ -266,20 +270,52 @@ def _dtype(bits: int, sample_format: int, bo: str) -> np.dtype:
 
 def _decode_block(raw: bytes, compression: int, dtype: np.dtype,
                   rows: int, cols: int, predictor: int,
-                  spp: int = 1) -> np.ndarray:
+                  spp: int = 1, jpeg_tables: bytes | None = None) -> np.ndarray:
     """Decode one strip/tile → (rows, cols) of the FIRST sample.
     spp > 1 means chunky (pixel-interleaved) multi-band data: the
     horizontal predictor differences per SAMPLE (value[i] += value
     [i - spp]), so the cumsum runs along columns after de-interleave."""
+    if compression == 7:
+        # New-style JPEG (TIFF Technical Note 2): each strip/tile is a
+        # baseline JPEG stream, either standalone or abbreviated with
+        # the shared DQT/DHT segments carried once in the JPEGTables
+        # tag (347) as `SOI <tables> EOI`. Merge = splice the shared
+        # segments right after the block's SOI; block-local tables come
+        # later in the stream and therefore override the shared ones
+        # (table-slot precedence per T.81 — last definition wins).
+        from ..kernels.jpeg import decode_jpeg
+
+        stream = raw
+        if jpeg_tables is not None and len(jpeg_tables) > 4:
+            stream = raw[:2] + jpeg_tables[2:-2] + raw[2:]
+        px = decode_jpeg(stream)  # (bh, bw, 1|3) uint8, SOF dims
+        # band 1 only (GDAL GetRasterBand(1)); for PhotometricInterp 6
+        # (YCbCr) the codec already converted to RGB, so channel 0 = R,
+        # matching GDAL's band-1 view of a YCbCr JPEG TIFF.
+        a = px[:rows, :cols, 0]
+        if a.shape != (rows, cols):
+            # edge strips whose SOF declares fewer rows/cols than the
+            # nominal block shape: pad (caller crops tiles anyway)
+            full = np.zeros((rows, cols), dtype=np.uint8)
+            full[: a.shape[0], : a.shape[1]] = a
+            a = full
+        return a
     if compression in (8, 32946):  # deflate (zlib)
         raw = zlib.decompress(raw)
     elif compression == 5:  # LZW — the most common DEM-archive codec
         raw = _lzw_decode(raw)
     elif compression == 32773:  # PackBits RLE
         raw = _packbits_decode(raw)
+    elif compression == 6:
+        raise NotImplementedError(
+            "TIFF compression 6 (old-style JPEG, deprecated by TTN2) "
+            "not supported — re-save with new-style JPEG (7) or a "
+            "lossless codec"
+        )
     elif compression != 1:
         raise NotImplementedError(f"TIFF compression {compression} not supported "
-                                  "(supported: none, deflate, LZW, PackBits)")
+                                  "(supported: none, deflate, LZW, PackBits, "
+                                  "baseline JPEG)")
     if predictor == 3:
         # TIFF floating-point predictor (Technical Note 3, the common
         # float32-DEM archive layout): per scanline, the value bytes
@@ -367,6 +403,10 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
     # offsets array) are read
     block_spp = spp if planar == 1 else 1
 
+    jpeg_tables = None
+    if compression == 7 and _TAG_JPEG_TABLES in tags:
+        jpeg_tables = bytes(tags[_TAG_JPEG_TABLES])
+
     z = np.empty((h, w), dtype=np.float64)
     if _TAG_TILE_OFFSETS in tags:
         tw = int(tags[_TAG_TILE_W][0])
@@ -379,7 +419,7 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
         for i, (o, c) in enumerate(zip(offs[:n_band1], cnts[:n_band1])):
             ty, tx = divmod(i, tiles_x)
             block = _decode_block(data[o : o + c], compression, dtype, th, tw,
-                                  predictor, block_spp)
+                                  predictor, block_spp, jpeg_tables)
             r0, c0 = ty * th, tx * tw
             rr, cc = min(th, h - r0), min(tw, w - c0)
             z[r0 : r0 + rr, c0 : c0 + cc] = block[:rr, :cc].astype(np.float64)
@@ -392,7 +432,7 @@ def read_geotiff(data: bytes, validate_projection: bool = False) -> Grid:
             r0 = i * rps
             rows = min(rps, h - r0)
             block = _decode_block(data[o : o + c], compression, dtype, rows, w,
-                                  predictor, block_spp)
+                                  predictor, block_spp, jpeg_tables)
             z[r0 : r0 + rows] = block.astype(np.float64)
 
     if validate_projection:
