@@ -214,3 +214,112 @@ def test_adam7_16bit_and_palette():
     out = P.decode_png(P.encode_png_palette(idx, palette, filters=1,
                                             interlace=True))
     np.testing.assert_array_equal(out, palette[idx])
+
+
+# ---------------------------------------------------------------------------
+# sub-8-bit depths (1/2/4-bit grayscale + palette indices)
+# ---------------------------------------------------------------------------
+
+def test_pack_bits_is_msb_first():
+    """Pin the spec's bit order independent of the pack/unpack pair:
+    1-bit row [1,0,1,1,0,0,1,0] must pack to 0b10110010 = 0xB2."""
+    row = np.array([[1, 0, 1, 1, 0, 0, 1, 0]], dtype=np.uint8)
+    assert P._pack_bits(row, 1).tobytes() == b"\xb2"
+    # 2-bit: [3,0,2,1] -> 0b11001001 = 0xC9 ; 4-bit: [0xA,0x5] -> 0xA5
+    assert P._pack_bits(np.array([[3, 0, 2, 1]], dtype=np.uint8), 2).tobytes() == b"\xc9"
+    assert P._pack_bits(np.array([[10, 5]], dtype=np.uint8), 4).tobytes() == b"\xa5"
+    # padding bits at row end are zero: width 3 at depth 1 -> 0b10100000
+    assert P._pack_bits(np.array([[1, 0, 1]], dtype=np.uint8), 1).tobytes() == b"\xa0"
+    # unpack inverts (and drops padding)
+    np.testing.assert_array_equal(
+        P._unpack_bits(np.frombuffer(b"\xa0", dtype=np.uint8).reshape(1, 1), 3, 1),
+        np.array([[1, 0, 1]], dtype=np.uint8),
+    )
+
+
+def test_hand_built_1bit_gray_fixture():
+    """Fully hand-built 1-bit grayscale PNG (no encoder involved):
+    8x2 checkerboard packed as 0xAA / 0x55, filter 0."""
+    raw = zlib.compress(b"\x00\xaa\x00\x55")
+    ihdr = struct.pack(">IIBBBBB", 8, 2, 1, 0, 0, 0, 0)
+    data = (P._MAGIC + P._chunk(b"IHDR", ihdr) + P._chunk(b"IDAT", raw)
+            + P._chunk(b"IEND", b""))
+    out = P.decode_png(data)
+    expect = np.zeros((2, 8, 1), dtype=np.uint8)
+    expect[0, 0::2, 0] = 255
+    expect[1, 1::2, 0] = 255
+    np.testing.assert_array_equal(out, expect)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_subbyte_gray(depth, filt):
+    """Odd width (13) so row-end padding bits are exercised; decode
+    returns the bit-replicated 8-bit display values."""
+    rng = np.random.RandomState(depth * 10 + filt)
+    s = rng.randint(0, 1 << depth, size=(9, 13)).astype(np.uint8)
+    out = P.decode_png(P.encode_png(s, filters=filt, depth=depth))
+    np.testing.assert_array_equal(
+        out, (s * (255 // ((1 << depth) - 1)))[:, :, None]
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_roundtrip_subbyte_palette(depth):
+    rng = np.random.RandomState(depth)
+    ncol = 1 << depth
+    palette = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncol, size=(11, 7)).astype(np.uint8)
+    out = P.decode_png(P.encode_png_palette(idx, palette, filters=4, depth=depth))
+    np.testing.assert_array_equal(out, palette[idx])
+    # with tRNS alpha
+    trns = rng.randint(0, 256, size=(min(3, ncol),)).astype(np.uint8)
+    out = P.decode_png(P.encode_png_palette(idx, palette, trns=trns, depth=depth))
+    alpha = np.full(ncol, 255, dtype=np.uint8)
+    alpha[: len(trns)] = trns
+    np.testing.assert_array_equal(out, np.dstack([palette[idx], alpha[idx]]))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("size", [(1, 1), (3, 2), (7, 9), (10, 13)])
+def test_subbyte_adam7(depth, size):
+    """Adam7 + sub-byte: every pass has its own bit-packed rows."""
+    h, w = size
+    rng = np.random.RandomState(h * 31 + w + depth)
+    s = rng.randint(0, 1 << depth, size=(h, w)).astype(np.uint8)
+    out = P.decode_png(P.encode_png(s, filters=1, depth=depth, interlace=True))
+    np.testing.assert_array_equal(
+        out, (s * (255 // ((1 << depth) - 1)))[:, :, None]
+    )
+    ncol = 1 << depth
+    palette = rng.randint(0, 256, size=(ncol, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncol, size=(h, w)).astype(np.uint8)
+    out = P.decode_png(P.encode_png_palette(idx, palette, filters=2,
+                                            depth=depth, interlace=True))
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_subbyte_rejections():
+    # sub-byte RGB is illegal per spec
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    data = (P._MAGIC + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(b"\x00" * 9))
+            + P._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="illegal for color type"):
+        P.decode_png(data)
+    # encoder guards
+    with pytest.raises(ValueError, match="out of range"):
+        P.encode_png(np.full((2, 2), 4, dtype=np.uint8), depth=2)
+    with pytest.raises(ValueError, match="single-channel"):
+        P.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), depth=4)
+    with pytest.raises(ValueError, match="does not fit"):
+        P.encode_png_palette(
+            np.zeros((2, 2), dtype=np.uint8),
+            np.zeros((5, 3), dtype=np.uint8), depth=2,
+        )
+    # depth 3 is not a legal PNG depth
+    with pytest.raises(ValueError):
+        P.encode_png_palette(
+            np.zeros((2, 2), dtype=np.uint8),
+            np.zeros((2, 3), dtype=np.uint8), depth=3,
+        )

@@ -8,9 +8,10 @@ W3C PNG): IHDR/IDAT/IEND chunks, per-row filter byte, filters
 0=None 1=Sub 2=Up 3=Average 4=Paeth.
 
 Scope (loud rejection outside it): 8- and 16-bit depth for color types
-0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); 8-bit palette (color
-type 3, with optional tRNS alpha); Adam7 interlace; no sub-8-bit
-depths.
+0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA); 1/2/4-bit gray (returned
+bit-replicated to uint8, the spec's v*255/(2^d-1) display scaling);
+1/2/4/8-bit palette (color type 3, with optional tRNS alpha); Adam7
+interlace.
 16-bit grayscale is the realistic DEM-adjacent payload (elevation
 tiles); decode returns uint16 for 16-bit images, uint8 otherwise, and
 palette images come back expanded to RGB(A). Anything outside the
@@ -130,6 +131,32 @@ def _unfilter_scanlines(raw, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _unpack_bits(b: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(rows, rowbytes) packed uint8 -> (rows, width) samples. PNG
+    packs sub-byte samples MSB-first; row-end padding bits dropped."""
+    per = 8 // depth
+    shifts = (np.arange(per - 1, -1, -1) * depth).astype(np.uint8)
+    mask = np.uint8((1 << depth) - 1)
+    s = (b[:, :, None] >> shifts[None, None, :]) & mask
+    return s.reshape(b.shape[0], -1)[:, :width]
+
+
+def _pack_bits(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) samples < 2**depth -> (h, rowbytes) MSB-first packed
+    bytes with zero padding bits at row end (the encode inverse)."""
+    h, w = samples.shape
+    per = 8 // depth
+    wpad = -(-w // per) * per
+    s = np.zeros((h, wpad), dtype=np.uint16)
+    s[:, :w] = samples
+    shifts = np.arange(per - 1, -1, -1) * depth
+    return (
+        (s.reshape(h, wpad // per, per) << shifts[None, None, :])
+        .sum(axis=2)
+        .astype(np.uint8)
+    )
+
+
 def _decode_png_checked(data: bytes) -> np.ndarray:
     width = height = None
     channels = None
@@ -145,12 +172,17 @@ def _decode_png_checked(data: bytes) -> np.ndarray:
                 ">IIBBBBB", body
             )
             if color == 3:
-                # palette: spec allows 1/2/4/8-bit indices; sub-byte
-                # index packing is out of scope (loud, not silent)
-                if depth != 8:
+                if depth not in (1, 2, 4, 8):
                     raise ValueError(f"unsupported palette bit depth {depth}")
             elif color not in _CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color}")
+            elif depth in (1, 2, 4):
+                # spec: sub-byte depths are legal only for grayscale
+                # (color 0) and palette (color 3)
+                if color != 0:
+                    raise ValueError(
+                        f"bit depth {depth} is illegal for color type {color}"
+                    )
             elif depth not in (8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if interlace not in (0, 1):
@@ -171,11 +203,43 @@ def _decode_png_checked(data: bytes) -> np.ndarray:
     if color == 3 and palette is None:
         raise ValueError("palette image missing PLTE")
 
-    sampbytes = depth // 8  # filters operate on BYTES, offset by bpp
     raw = zlib.decompress(bytes(idat))
-    bpp = channels * sampbytes  # bytes per pixel
-    pxbytes = channels * sampbytes
-    if interlace == 0:
+    if depth < 8:
+        # sub-byte samples (1/2/4-bit gray or palette indices): the
+        # filters operate on the PACKED scanline bytes with bpp = 1;
+        # rows are bit-packed MSB-first with padding bits at row end
+        if interlace == 0:
+            rowbytes = (width * depth + 7) // 8
+            if len(raw) != height * (rowbytes + 1):
+                raise ValueError("PNG data length mismatch")
+            samples = _unpack_bits(
+                _unfilter_scanlines(raw, height, rowbytes, 1), width, depth
+            )
+        else:
+            samples = np.empty((height, width), dtype=np.uint8)
+            pos = 0
+            for (x0, y0, dx, dy) in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * depth + 7) // 8
+                chunk_len = ph * (pstride + 1)
+                sub = _unpack_bits(
+                    _unfilter_scanlines(raw[pos : pos + chunk_len], ph, pstride, 1),
+                    pw, depth,
+                )
+                pos += chunk_len
+                samples[y0::dy, x0::dx] = sub
+            if pos != len(raw):
+                raise ValueError("PNG data length mismatch")
+        if color == 0:
+            # bit replication: v * 255/(2^d - 1) is exact (255, 85, 17)
+            samples = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        out = samples
+    elif interlace == 0:
+        sampbytes = depth // 8  # filters operate on BYTES, offset by bpp
+        bpp = pxbytes = channels * sampbytes  # bytes per pixel
         stride = width * pxbytes
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG data length mismatch")
@@ -183,6 +247,8 @@ def _decode_png_checked(data: bytes) -> np.ndarray:
     else:
         # Adam7: 7 sequentially-filtered sub-images scattered on the
         # (x0, y0, dx, dy) lattices; empty passes contribute 0 bytes
+        sampbytes = depth // 8
+        bpp = pxbytes = channels * sampbytes
         out = np.empty((height, width * pxbytes), dtype=np.uint8)
         pos = 0
         for (x0, y0, dx, dy) in _ADAM7:
@@ -306,33 +372,59 @@ def _byte_rows(px: np.ndarray) -> np.ndarray:
 
 
 def encode_png(px: np.ndarray, filters=None, level: int = 6,
-               interlace: bool = False) -> bytes:
+               interlace: bool = False, depth: int | None = None) -> bytes:
     """uint8 or uint16 (H, W) or (H, W, C) -> PNG bytes (depth 8 or
     16 per the input dtype). `filters` picks the per-row filter type
     (int or list, default 0) so tests can exercise every unfilter path
     against known pixels; interlace=True writes Adam7 (each pass
-    filtered as its own sub-image, per spec)."""
+    filtered as its own sub-image, per spec). depth=1/2/4 writes
+    sub-byte GRAYSCALE (single channel only): input holds raw sample
+    values < 2**depth, rows bit-packed MSB-first, filters on the
+    packed bytes with bpp=1."""
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    depth = 16 if px.dtype == np.uint16 else 8
-    bpp = c * (depth // 8)
-    if interlace:
-        stream = bytearray()
-        for (x0, y0, dx, dy) in _ADAM7:
-            sub = px[y0::dy, x0::dx]
-            if sub.shape[0] == 0 or sub.shape[1] == 0:
-                continue
-            stream += _filter_scanlines(
-                _byte_rows(sub), bpp, _norm_filters(filters, sub.shape[0])
+    if depth in (1, 2, 4):
+        if c != 1 or px.dtype == np.uint16:
+            raise ValueError("sub-byte depth requires single-channel uint8")
+        if px.max(initial=0) >= (1 << depth):
+            raise ValueError(f"sample value out of range for depth {depth}")
+        rows2d = px[:, :, 0]
+        if interlace:
+            stream = bytearray()
+            for (x0, y0, dx, dy) in _ADAM7:
+                sub = rows2d[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                stream += _filter_scanlines(
+                    _pack_bits(sub, depth), 1, _norm_filters(filters, sub.shape[0])
+                )
+            raw = zlib.compress(bytes(stream), level)
+        else:
+            raw = zlib.compress(
+                _filter_scanlines(_pack_bits(rows2d, depth), 1,
+                                  _norm_filters(filters, h)),
+                level,
             )
-        raw = zlib.compress(bytes(stream), level)
     else:
-        raw = zlib.compress(
-            _filter_scanlines(_byte_rows(px), bpp, _norm_filters(filters, h)),
-            level,
-        )
+        depth = 16 if px.dtype == np.uint16 else 8
+        bpp = c * (depth // 8)
+        if interlace:
+            stream = bytearray()
+            for (x0, y0, dx, dy) in _ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                stream += _filter_scanlines(
+                    _byte_rows(sub), bpp, _norm_filters(filters, sub.shape[0])
+                )
+            raw = zlib.compress(bytes(stream), level)
+        else:
+            raw = zlib.compress(
+                _filter_scanlines(_byte_rows(px), bpp, _norm_filters(filters, h)),
+                level,
+            )
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     return (
         _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", raw) + _chunk(b"IEND", b"")
@@ -342,17 +434,27 @@ def encode_png(px: np.ndarray, filters=None, level: int = 6,
 def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
                        trns: np.ndarray | None = None,
                        filters=None, level: int = 6,
-                       interlace: bool = False) -> bytes:
+                       interlace: bool = False, depth: int = 8) -> bytes:
     """uint8 index raster (H, W) + palette (N, 3) [+ per-entry alpha
     (M,)] -> color-type-3 PNG bytes (fixture/sink side of the palette
-    decode path)."""
+    decode path). depth=1/2/4 bit-packs the indices MSB-first
+    (palette must then fit in 2**depth entries)."""
     h, w = idx.shape
     palette = np.ascontiguousarray(palette, dtype=np.uint8)
     if palette.ndim != 2 or palette.shape[1] != 3 or not len(palette):
         raise ValueError("palette must be (N, 3) uint8")
     if idx.max(initial=0) >= palette.shape[0]:
         raise ValueError("palette index out of range")
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth must be 1/2/4/8, not {depth}")
+    if palette.shape[0] > (1 << depth):
+        raise ValueError(f"palette does not fit in {depth}-bit indices")
     idx8 = idx.astype(np.uint8)
+
+    def _rows(sub):
+        return (_pack_bits(sub, depth) if depth < 8
+                else np.ascontiguousarray(sub))
+
     if interlace:
         stream = bytearray()
         for (x0, y0, dx, dy) in _ADAM7:
@@ -360,15 +462,16 @@ def encode_png_palette(idx: np.ndarray, palette: np.ndarray,
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
             stream += _filter_scanlines(
-                np.ascontiguousarray(sub), 1, _norm_filters(filters, sub.shape[0])
+                _rows(sub), 1, _norm_filters(filters, sub.shape[0])
             )
         raw = zlib.compress(bytes(stream), level)
     else:
         raw = zlib.compress(
-            _filter_scanlines(idx8.reshape(h, w), 1, _norm_filters(filters, h)),
+            _filter_scanlines(_rows(idx8.reshape(h, w)), 1,
+                              _norm_filters(filters, h)),
             level,
         )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
     out = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
     if trns is not None:
         out += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
