@@ -158,10 +158,14 @@ def test_class_iii_rotation_applied():
     )
 
 
-def test_geo_to_h3_is_loud_without_tables():
+def test_geo_to_h3_runs_on_derived_tables():
+    """Without injected library tables, the global encode runs on the
+    numerically derived engine-canonical tables (round 5 — previously
+    it raised; tests/test_h3global.py covers the grid invariants).
+    set_base_cell_tables still validates injected shapes loudly."""
     assert not G.base_cell_tables_available()
-    with pytest.raises(NotImplementedError, match="base-cell"):
-        G.geo_to_h3(0.5, 0.5, 9)
+    h = G.geo_to_h3(0.5, 0.5, 9)
+    assert h.shape == (1,) and h[0] > 0
     with pytest.raises(ValueError):
         G.set_base_cell_tables(np.zeros((19, 3, 3, 3, 2)), [0] * 122)
     with pytest.raises(ValueError):
@@ -195,6 +199,30 @@ def test_with_face_ijk_spark_path(spark):
     )
     for n in range(300):
         assert got[n] == (f[n], i[n], j[n], k[n])
+
+
+def test_with_h3_global_spark_path(spark):
+    """mapInPandas GLOBAL-id surface equals geo_to_h3 row-for-row, and
+    the ids are full 122-base-cell (not the planar shim: >1 distinct
+    base cell on a global sample)."""
+    rng = np.random.RandomState(29)
+    lat_d = np.degrees(np.arcsin(rng.uniform(-1, 1, 400)))
+    lng_d = rng.uniform(-180, 180, 400)
+    df = spark.createDataFrame(
+        [(int(n), float(a), float(o)) for n, (a, o) in enumerate(zip(lat_d, lng_d))],
+        "row_id long, lat double, lng double",
+    )
+    got = {
+        r["row_id"]: r["h3_id"]
+        for r in G.with_h3_global(df, res=4).collect()
+    }
+    want = G.geo_to_h3(np.radians(lat_d), np.radians(lng_d), 4)
+    assert [got[n] for n in range(400)] == list(want)
+    from tin_terrain_spark.functions.h3pack import unpack_h3_np
+
+    res_f, bc, _ = unpack_h3_np(want)
+    assert set(res_f.tolist()) == {4}
+    assert len(set(bc.tolist())) > 20  # genuinely global, not one chart
 
 
 @pytest.mark.parametrize("res", [2, 3])

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 import math
 
+from functools import lru_cache
+
 import numpy as np
 
 # --- derived scalars --------------------------------------------------
@@ -149,15 +151,23 @@ def _geo_az_distance(lat1, lng1, az, dist):
     return lat2, np.arctan2(np.sin(lng2), np.cos(lng2))
 
 
-def geo_to_hex2d(lat, lng, res: int):
+def geo_to_hex2d(lat, lng, res: int, face=None):
     """Project points into their closest face's hex2d plane at `res`:
     gnomonic radial scaling (tan of the angular distance over the
     res-0 unit), azimuth rotated into the face's Class II i-axis frame
     (minus the aperture-7 rotation on Class III resolutions).
-    Returns (face, x, y)."""
+    Returns (face, x, y). Passing `face` forces the chart (used by the
+    rare-path re-walk in geo_to_h3 — gnomonic extends smoothly a bit
+    beyond the face's own region)."""
     lat = np.asarray(lat, float)
     lng = np.asarray(lng, float)
-    face, sqd = geo_to_face(lat, lng)
+    if face is None:
+        face, sqd = geo_to_face(lat, lng)
+    else:
+        face = np.broadcast_to(np.asarray(face, np.int64), lat.shape)
+        v = _geo_to_xyz(lat, lng)
+        dots = np.einsum("...i,...i->...", v, FACE_CENTER_XYZ[face])
+        sqd = np.maximum(2.0 - 2.0 * dots, 0.0)
     r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))  # angular dist
     clat = FACE_CENTER_GEO[face, 0]
     clng = FACE_CENTER_GEO[face, 1]
@@ -319,6 +329,36 @@ def with_face_ijk_from_mercator(df, res: int, x_col: str = "x",
     return df.mapInPandas(run, schema)
 
 
+def with_h3_global(df, res: int, lat_col: str = "lat", lng_col: str = "lng",
+                   degrees: bool = True, out_col: str = "h3_id"):
+    """Add a GLOBAL 64-bit H3-layout cell id column (geo_to_h3: all 122
+    base cells over the derived icosahedral tables, or the injected
+    library tables after set_base_cell_tables). Vectorized Arrow
+    batches via mapInPandas — the derived base-cell tables are
+    lru-cached per Python worker (~0.8 s once per executor worker,
+    amortized across every batch it processes), and the encode itself
+    is whole-array NumPy. Map-only stage: no shuffle, no state,
+    partition-parallel — the 10^12-row plan is a single scan."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.LongType())]
+    )
+    to_rad = math.pi / 180.0 if degrees else 1.0
+
+    def run(batches):
+        for pdf in batches:
+            lat = pdf[lat_col].to_numpy(dtype=float) * to_rad
+            lng = pdf[lng_col].to_numpy(dtype=float) * to_rad
+            out = pdf.copy()
+            out[out_col] = geo_to_h3(lat, lng, res)
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def with_face_ijk_cols(df, res: int, x_col: str = "x", y_col: str = "y"):
     """Pure-Column twin of with_face_ijk_from_mercator: the whole
     icosahedral chain — inverse Mercator, 20-way closest-face argmax
@@ -465,16 +505,308 @@ def base_cell_tables_available() -> bool:
     return _BASE_CELL_TABLES is not None
 
 
-def geo_to_h3(lat, lng, res: int):
-    """Full library-compatible encode — requires the base-cell tables
-    (set_base_cell_tables). Raises a loud, actionable error until the
-    tables are supplied; the projection half (geo_to_face_ijk) and the
-    digit half (h3pack.h3_from_axial) are both live and tested."""
-    if _BASE_CELL_TABLES is None:
-        raise NotImplementedError(
-            "base-cell resolution needs the published 122-entry "
-            "faceIjkBaseCells/baseCellData constants (not derivable "
-            "from first principles); supply them via "
-            "set_base_cell_tables() — see NOTES.md 'retrieval request'"
-        )
-    raise NotImplementedError("wire-up pending table delivery")
+def _active_tables():
+    """Injected library tables if supplied, else the numerically
+    derived engine-canonical tables (h3base.derive_base_cells)."""
+    from . import h3base
+
+    if _BASE_CELL_TABLES is not None:
+        return h3base.tables_from_library(*_BASE_CELL_TABLES)
+    return h3base.derive_base_cells()
+
+
+def geo_to_h3(lat, lng, res: int) -> np.ndarray:
+    """GLOBAL encode: lat/lng radians -> 64-bit H3-layout cell ids.
+
+    Pipeline: closest-face gnomonic projection + rounding at `res`
+    (geo_to_face_ijk), the spec's absolute aperture-7 digit walk
+    (h3pack.walk_digits_np), base-cell + frame-rotation lookup on the
+    res-0 coords (h3base), digit rotation into the cell's canonical
+    frame, spec bit packing. Points near a face-triangle corner (a
+    pentagon, where the 5 surrounding charts pinch around the deleted
+    K-sector and closest-face rounding is not a consistent partition),
+    points whose rounded cell crosses a pentagon's deleted K-sector,
+    and (vanishingly rarely) points whose res-0 key misses the table
+    are re-walked through the other candidate face charts and resolved
+    by nearest decoded center — exact, deterministic, and table-free
+    (no cwOffsetPent needed).
+
+    With the numerically-derived tables the ids are engine-canonical
+    (structurally library-true: valid per isValidCell, pentagons in the
+    library pentagon slots, exact cell censuses); after
+    set_base_cell_tables() they become numerically library-identical.
+    """
+    from . import h3base
+    from .h3pack import pack_h3_np, walk_digits_np
+
+    lat = np.atleast_1d(np.asarray(lat, float))
+    lng = np.atleast_1d(np.asarray(lng, float))
+    tables = _active_tables()
+    face, x, y = geo_to_hex2d(lat, lng, res)
+    i, j, k = hex2d_to_ijk(x, y)
+    digits, i0, j0, k0 = walk_digits_np(i, j, k, res)
+    ok = (i0 <= 2) & (j0 <= 2) & (k0 <= 2)
+    key = np.where(ok, face * 27 + i0 * 9 + j0 * 3 + k0, 0)
+    bc = tables.lookup_bc[key].astype(np.int64)
+    rot = tables.lookup_rot[key].astype(np.int64)
+    ok &= bc >= 0
+    bc_safe = np.where(bc >= 0, bc, 0)
+    if res > 0:
+        rtab = h3base.rot_digit_table()
+        cdig = rtab[rot[:, None], digits]
+        nz = cdig != 0
+        first = np.argmax(nz, axis=1)
+        lead = np.where(nz.any(axis=1), cdig[np.arange(len(face)), first], 0)
+        is_pent = tables.bc_is_pentagon[bc_safe]
+        # pentagon deleted-subsequence rule (label-based, exact): the
+        # lead-5 subtree is DRAWN in the wedge of digit 1, so a raw
+        # walk landing there relabels ccw (lead 1 -> 5); a raw lead-5
+        # walk is in the deleted wedge — across the seam, owned by an
+        # adjacent chart — and is resolved by _rewalk.
+        relabel = is_pent & (lead == 1)
+        if relabel.any():
+            cdig = np.where(relabel[:, None], rtab[1][cdig], cdig)
+        pent_bad = is_pent & (lead == 5)
+    else:
+        cdig = digits
+        pent_bad = np.zeros(lat.shape, dtype=bool)
+    h = pack_h3_np(res, bc_safe, cdig)
+    problem = ~ok | pent_bad
+    if res > 0:
+        problem |= _near_pentagon(x, y, res)
+    if problem.any():
+        h[problem] = _rewalk(lat[problem], lng[problem], res, tables)
+    return h
+
+
+# Disc radius around face-triangle corners as a FRACTION of the res-0
+# cell spacing: the pentagon/hexagon subtree-boundary wiggle (where
+# per-chart lattices disagree and cells can draw outside every chart's
+# own cone) has amplitude ~0.65 of the res-0 spacing INDEPENDENT of
+# res, so the settled neighborhood must scale with the res-0 cell, not
+# with the fine spacing. Inside the disc the partition is Voronoi over
+# decoded centers (_rewalk), which makes every affected cell's center
+# re-encode to itself at distance 0.
+_PENT_DISC_FRACTION = 0.75
+
+
+@lru_cache(maxsize=16)
+def _corner_xy(res: int):
+    """Planar positions of the face triangle's 3 corners (the pentagon
+    res-0 cells at IJK (2,0,0)/(0,2,0)/(0,0,2) — identical in every
+    face chart) in the res-scale/res-frame hex2d coordinates that
+    geo_to_hex2d returns, plus the res-scale unit spacing."""
+    from .h3pack import descend_digits_np, _UNIT_VECS
+
+    i0 = np.array([2, 0, 0], dtype=np.int64)
+    j0 = np.array([0, 2, 0], dtype=np.int64)
+    k0 = np.array([0, 0, 2], dtype=np.int64)
+    zero = np.zeros((3, res), dtype=np.int8)
+    i, j, k = descend_digits_np(i0, j0, k0, zero, res)
+    cx, cy = ijk_to_hex2d(i, j, k)
+    u2 = _UNIT_VECS[2]
+    ux, uy = ijk_to_hex2d(np.array([u2[0]]), np.array([u2[1]]),
+                          np.array([u2[2]]))
+    return cx, cy, float(np.hypot(ux, uy)[0])
+
+
+def _near_pentagon(x, y, res: int) -> np.ndarray:
+    """True for points within _PENT_DISC_SPACINGS res-cell spacings of
+    a face-triangle corner — the only region where the closest-face
+    chart partition is inconsistent (charts pinch across the deleted
+    sector), so those points take the nearest-center _rewalk path."""
+    cx, cy, u = _corner_xy(res)
+    r2 = (u * _PENT_DISC_FRACTION * SQRT7 ** res) ** 2
+    hit = np.zeros(x.shape, dtype=bool)
+    for c in range(3):
+        hit |= (x - cx[c]) ** 2 + (y - cy[c]) ** 2 < r2
+    return hit
+
+
+def _rewalk(lat, lng, res: int, tables, _depth: int = 0) -> np.ndarray:
+    """Rare-path encode: walk each point through EVERY face chart,
+    turn each walk into candidate cell ids, and pick the candidate
+    whose decoded center is nearest the point (a Voronoi over decoded
+    centers — an exact center always wins its own cell at distance 0).
+    A raw walk landing in a pentagon's deleted subtree-5 region yields
+    its TWO glued interpretations: the label as-is (the cell drawn in
+    the wedge of digit 1) and the ccw-rotated label (the wedge-4
+    neighbor side) — the gluing of the pentagonal gap, settled by the
+    Voronoi. Cost is ~20x the normal path but only boundary points
+    near pentagons (or table misses) land here."""
+    from . import h3base
+    from .h3pack import pack_h3_np, walk_digits_np
+
+    m = lat.shape[0]
+    best_h = np.zeros(m, dtype=np.int64)
+    best_d = np.full(m, np.inf)
+    rtab = h3base.rot_digit_table()
+
+    def consider(hc, mask):
+        nonlocal best_h, best_d
+        clat, clng = h3_to_geo(hc, tables=tables)
+        d = np.arccos(np.clip(
+            np.sin(lat) * np.sin(clat)
+            + np.cos(lat) * np.cos(clat) * np.cos(lng - clng), -1.0, 1.0,
+        ))
+        better = mask & (d < best_d)
+        best_h = np.where(better, hc, best_h)
+        best_d = np.where(better, d, best_d)
+
+    for f in range(20):
+        _, x, y = geo_to_hex2d(lat, lng, res, face=f)
+        i, j, k = hex2d_to_ijk(x, y)
+        digits, i0, j0, k0 = walk_digits_np(i, j, k, res)
+        ok = (i0 <= 2) & (j0 <= 2) & (k0 <= 2)
+        key = np.where(ok, f * 27 + i0 * 9 + j0 * 3 + k0, 0)
+        bc = tables.lookup_bc[key].astype(np.int64)
+        rot = tables.lookup_rot[key].astype(np.int64)
+        ok &= bc >= 0
+        if not ok.any():
+            continue
+        bc_safe = np.where(bc >= 0, bc, 0)
+        cdig = rtab[rot[:, None], digits] if res > 0 else digits
+        gap5 = np.zeros(m, dtype=bool)
+        if res > 0:
+            nz = cdig != 0
+            first = np.argmax(nz, axis=1)
+            lead = np.where(nz.any(axis=1), cdig[np.arange(m), first], 0)
+            is_pent = tables.bc_is_pentagon[bc_safe]
+            relabel = is_pent & (lead == 1)
+            if relabel.any():
+                cdig = np.where(relabel[:, None], rtab[1][cdig], cdig)
+            gap5 = is_pent & (lead == 5)
+        consider(pack_h3_np(res, bc_safe, cdig), ok)
+        if gap5.any():
+            consider(pack_h3_np(res, bc_safe, rtab[1][cdig]), ok & gap5)
+    if not np.isfinite(best_d).all():
+        raise ValueError("geo_to_h3: point could not be resolved in any "
+                         "face chart (corrupt base-cell tables?)")
+    # Locality fallback: a point deep in the pentagonal-defect misfit
+    # sliver (every chart's rounding is a deleted-subtree position) can
+    # end up with only far candidates. Perturb it by a few cell
+    # spacings in its own chart, resolve the perturbed points (which
+    # land in real cells), and offer THEIR cells as candidates. Cell
+    # centers never take this path (their own chart rounds them to
+    # themselves at distance 0), so encode/decode consistency is
+    # unaffected — this only makes sliver assignments local.
+    if res > 0 and _depth == 0:
+        far = best_d > 3.0 * 0.55 / SQRT7 ** res
+        if far.any():
+            fl, fg = lat[far], lng[far]
+            face_f, xf, yf = geo_to_hex2d(fl, fg, res)
+            _, _, u = _corner_xy(res)
+            sub_best_h = best_h[far]
+            sub_best_d = best_d[far]
+            # two fine rings (thin-sliver case) + three rings scaled to
+            # the current best distance (defect-lens case, where the
+            # nearest real cell can be tens of spacings out)
+            rel = best_d[far] / (0.55 / SQRT7 ** res)  # planar u units
+            for ring in (np.full(rel.shape, 1.2), np.full(rel.shape, 2.4),
+                         0.35 * rel, 0.7 * rel, 1.05 * rel):
+                for a in range(6):
+                    ang = math.pi / 3.0 * a + math.pi / 6.0
+                    ql, qg = _hex2d_to_geo(
+                        face_f, xf + ring * u * math.cos(ang),
+                        yf + ring * u * math.sin(ang), res)
+                    hc = _rewalk(ql, qg, res, tables, _depth=1)
+                    clat, clng = h3_to_geo(hc, tables=tables)
+                    d = np.arccos(np.clip(
+                        np.sin(fl) * np.sin(clat)
+                        + np.cos(fl) * np.cos(clat) * np.cos(fg - clng),
+                        -1.0, 1.0))
+                    better = d < sub_best_d
+                    sub_best_h = np.where(better, hc, sub_best_h)
+                    sub_best_d = np.where(better, d, sub_best_d)
+            best_h[far] = sub_best_h
+            best_d[far] = sub_best_d
+    return best_h
+
+
+def h3_to_geo(h, tables=None):
+    """Decode cell ids (one shared resolution) -> center (lat, lng)
+    radians.
+
+    A cell under base cell bc can be reconstructed in the chart of ANY
+    face that sees bc (its reps): rotate the canonical digits into that
+    rep's frame, down-walk from the rep's res-0 coords, inverse-project.
+    The authoritative candidate is the SELF-CONSISTENT one: the chart
+    whose drawn center, inverse-projected to the sphere, lands in that
+    chart's own face region (closest face == chart face). Min planar
+    radius alone is NOT sufficient — each chart draws its own version
+    of the cell, and the gnomonic extension compresses cells beyond the
+    fold, so a neighboring chart's distorted copy can have the smaller
+    radius. Self-consistency is exactly the role the overage-adjustment
+    tables play in the reference library, derived here instead; ties /
+    no-consistent-chart fall back to min radius."""
+    from . import h3base
+    from .h3pack import descend_digits_np, unpack_h3_np
+
+    if tables is None:
+        tables = _active_tables()
+    h = np.atleast_1d(np.asarray(h, np.int64))
+    res_arr, bc, digits = unpack_h3_np(h)
+    res = int(res_arr[0])
+    if not (res_arr == res).all():
+        raise ValueError("h3_to_geo: mixed resolutions in one batch")
+    rtab = h3base.rot_digit_table()
+    if res > 0:
+        # pentagon fold: the lead-5 subtree is drawn rotated 60 deg CW
+        # (lead 5 -> 1) into the planar wedge of digit 1 — the exact,
+        # label-based deleted-subsequence gluing (see h3base docstring)
+        d = digits[:, :res]
+        nz = d != 0
+        first = np.argmax(nz, axis=1)
+        lead = np.where(nz.any(axis=1), d[np.arange(h.shape[0]), first], 0)
+        fold = tables.bc_is_pentagon[bc] & (lead == 5)
+        if fold.any():
+            digits = digits.copy()
+            digits[:, :res] = np.where(fold[:, None], rtab[5][d], d)
+    nrep = tables.bc_rep_count[bc].astype(np.int64)
+    best_score = np.full(h.shape, np.inf)
+    best_lat = np.zeros(h.shape)
+    best_lng = np.zeros(h.shape)
+    for s in range(int(tables.bc_rep_count.max())):
+        act = nrep > s
+        if not act.any():
+            continue
+        face_s = tables.bc_rep_face[bc, s].astype(np.int64)
+        ijk_s = tables.bc_rep_ijk[bc, s].astype(np.int64)
+        inv = (6 - tables.bc_rep_rot[bc, s].astype(np.int64)) % 6
+        if res > 0:
+            fdig = rtab[inv[:, None], digits[:, :res]]
+        else:
+            fdig = digits[:, :0]
+        i, j, k = descend_digits_np(ijk_s[:, 0], ijk_s[:, 1], ijk_s[:, 2],
+                                    fdig, res)
+        x, y = ijk_to_hex2d(i, j, k)
+        cand_lat, cand_lng = _hex2d_to_geo(face_s, x, y, res)
+        cface, _ = geo_to_face(cand_lat, cand_lng)
+        # consistent charts (drawn center in own region) always beat
+        # inconsistent ones; radius breaks ties within each class
+        score = (x * x + y * y) + np.where(cface == face_s, 0.0, 1e9)
+        better = act & (score < best_score)
+        best_score = np.where(better, score, best_score)
+        best_lat = np.where(better, cand_lat, best_lat)
+        best_lng = np.where(better, cand_lng, best_lng)
+    return best_lat, best_lng
+
+
+def _hex2d_to_geo(face, x, y, res: int):
+    """Inverse projection of explicit hex2d coords in a given face
+    chart (the tail of face_ijk_to_geo, shared by h3_to_geo)."""
+    face = np.asarray(face, np.int64)
+    r2d = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    if res % 2 == 1:
+        theta = theta + AP7_ROT_RADS
+    scale = (SQRT7 ** res) / RES0_U_GNOMONIC
+    r = np.arctan(r2d / scale)
+    clat = FACE_CENTER_GEO[face, 0]
+    clng = FACE_CENTER_GEO[face, 1]
+    az = FACE_AXES_AZ_I[face] - theta
+    lat2, lng2 = _geo_az_distance(clat, clng, az, r)
+    origin = r2d < _EPS
+    lat2 = np.where(origin, clat, lat2)
+    lng2 = np.where(origin, clng, lng2)
+    return lat2, lng2

@@ -306,6 +306,107 @@ def h3_from_axial_np(q: np.ndarray, r: np.ndarray, res: int = _MAX_RES,
     return h.astype(np.int64)  # BIGINT column carrier; bit pattern preserved
 
 
+def walk_digits_np(i, j, k, res: int):
+    """Vectorized absolute digit walk for the GLOBAL encode: given
+    normalized face-frame IJK at `res`, run the spec's up-aggregation
+    `res` times and return (digits (n, res) int8 in walk order
+    digit-1-first, i0, j0, k0 res-0 coords). Unlike h3_from_axial_np
+    this does NOT require the leftover to be the origin — the res-0
+    coords are the base-cell lookup key (h3geo/h3base)."""
+    i = np.asarray(i, dtype=np.int64).copy()
+    j = np.asarray(j, dtype=np.int64).copy()
+    k = np.asarray(k, dtype=np.int64).copy()
+
+    def nrm(i, j, k):
+        neg = i < 0
+        j = j - np.where(neg, i, 0)
+        k = k - np.where(neg, i, 0)
+        i = np.where(neg, 0, i)
+        neg = j < 0
+        i = i - np.where(neg, j, 0)
+        k = k - np.where(neg, j, 0)
+        j = np.where(neg, 0, j)
+        neg = k < 0
+        i = i - np.where(neg, k, 0)
+        j = j - np.where(neg, k, 0)
+        k = np.where(neg, 0, k)
+        m = np.minimum(np.minimum(i, j), k)
+        return i - m, j - m, k - m
+
+    def rha(num):
+        pos = (2 * num + 7) // 14
+        neg = -((-2 * num + 7) // 14)
+        return np.where(num >= 0, pos, neg)
+
+    i, j, k = nrm(i, j, k)
+    digits = np.zeros((i.shape[0], res), dtype=np.int8)
+    for rr in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        di, dj = li - lk, lj - lk
+        if _is_class_iii(rr):
+            i, j, k = nrm(rha(3 * di - dj), rha(di + 2 * dj),
+                          np.zeros_like(di))
+            ci, cj, ck = nrm(3 * i + j, 3 * j + k, i + 3 * k)
+        else:
+            i, j, k = nrm(rha(2 * di + dj), rha(3 * dj - di),
+                          np.zeros_like(di))
+            ci, cj, ck = nrm(3 * i + k, i + 3 * j, j + 3 * k)
+        ui, uj, uk = nrm(li - ci, lj - cj, lk - ck)
+        digits[:, rr - 1] = (4 * ui + 2 * uj + uk).astype(np.int8)
+    return digits, i, j, k
+
+
+def descend_digits_np(i0, j0, k0, digits, res: int):
+    """Inverse of walk_digits_np: from res-0 coords + digits, rebuild
+    the absolute face-frame IJK at `res` (spec decode order)."""
+    i = np.asarray(i0, dtype=np.int64).copy()
+    j = np.asarray(j0, dtype=np.int64).copy()
+    k = np.asarray(k0, dtype=np.int64).copy()
+    uv = np.array(_UNIT_VECS, dtype=np.int64)
+    for rr in range(1, res + 1):
+        if _is_class_iii(rr):
+            i, j, k = 3 * i + j, 3 * j + k, i + 3 * k
+        else:
+            i, j, k = 3 * i + k, i + 3 * j, j + 3 * k
+        d = digits[:, rr - 1].astype(np.int64)
+        i = i + uv[d, 0]
+        j = j + uv[d, 1]
+        k = k + uv[d, 2]
+        m = np.minimum(np.minimum(i, j), k)
+        i, j, k = i - m, j - m, k - m
+    return i, j, k
+
+
+def pack_h3_np(res: int, base_cell: np.ndarray,
+               digits: np.ndarray) -> np.ndarray:
+    """Vectorized pack: (n,) base cells + (n, res) digits -> int64 ids
+    (same bit layout as pack_h3)."""
+    h = ((np.uint64(MODE_CELL) << np.uint64(_MODE_OFFSET))
+         | (np.uint64(res) << np.uint64(_RES_OFFSET))
+         | (base_cell.astype(np.uint64) << np.uint64(_BC_OFFSET)))
+    for rr in range(1, _MAX_RES + 1):
+        if rr <= res:
+            d = digits[:, rr - 1].astype(np.uint64)
+        else:
+            d = np.uint64(7)
+        h = h | (d << np.uint64(3 * (_MAX_RES - rr)))
+    return h.astype(np.int64)
+
+
+def unpack_h3_np(h: np.ndarray):
+    """Vectorized unpack -> (res (n,), base_cell (n,), digits (n, max_res))
+    where digits past each id's res are 7."""
+    hu = h.astype(np.uint64)
+    res = ((hu >> np.uint64(_RES_OFFSET)) & np.uint64(0xF)).astype(np.int64)
+    bc = ((hu >> np.uint64(_BC_OFFSET)) & np.uint64(0x7F)).astype(np.int64)
+    digits = np.zeros((h.shape[0], _MAX_RES), dtype=np.int8)
+    for rr in range(1, _MAX_RES + 1):
+        digits[:, rr - 1] = (
+            (hu >> np.uint64(3 * (_MAX_RES - rr))) & np.uint64(0x7)
+        ).astype(np.int8)
+    return res, bc, digits
+
+
 # --- SQL twin of the aperture-7 walk ----------------------------------
 #
 # The whole encode is integer algebra, so it compiles to plain Column
