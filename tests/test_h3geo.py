@@ -249,3 +249,58 @@ def test_column_twin_equals_numpy_kernel(spark, res):
     f, i, j, k = G.geo_to_face_ijk(lat, lng, res)
     mismatch = [m for m in range(n) if got[m] != (f[m], i[m], j[m], k[m])]
     assert not mismatch, f"{len(mismatch)} cells differ, first: {mismatch[:3]}"
+
+
+@pytest.mark.parametrize("res", [0, 3, 5])
+def test_with_h3_global_cols_matches_numpy(spark, res):
+    """The pure-Column GLOBAL encode: every non-NULL id must equal
+    geo_to_h3 EXACTLY (64-bit ints via Row, not a float64 round-trip
+    — h3 ids exceed the float53 mantissa), and the NULL (rare-path)
+    fraction must be the pentagon-disc share of a uniform sphere
+    (~13%), never more than 20%."""
+    rng = np.random.RandomState(41 + res)
+    n = 1500
+    lat = np.arcsin(rng.uniform(-1, 1, n))
+    lng = rng.uniform(-math.pi, math.pi, n)
+    x = lng * G.EARTH_R_MERC
+    y = np.log(np.tan(math.pi / 4 + lat / 2)) * G.EARTH_R_MERC
+    df = spark.createDataFrame(
+        [(int(m), float(a), float(b)) for m, (a, b) in enumerate(zip(x, y))],
+        "row_id long, x double, y double",
+    )
+    got = {
+        r["row_id"]: r["h3_id"]
+        for r in G.with_h3_global_cols(df, res).collect()
+    }
+    want = G.geo_to_h3(lat, lng, res)
+    nulls = [m for m in range(n) if got[m] is None]
+    bad = [m for m in range(n)
+           if got[m] is not None and got[m] != int(want[m])]
+    assert not bad, f"{len(bad)} non-null ids differ, first: {bad[:3]}"
+    assert len(nulls) < 0.2 * n
+    if res > 0:
+        assert nulls, "uniform sphere sample must hit the pentagon discs"
+
+
+def test_with_h3_global_hybrid_all_rows_exact(spark):
+    """The hybrid (JVM bulk + NumPy rare-path union) returns every
+    input row exactly once with the id geo_to_h3 would produce —
+    including the pentagon-disc rows the Column path NULLs out."""
+    res = 4
+    rng = np.random.RandomState(53)
+    n = 1500
+    lat = np.arcsin(rng.uniform(-1, 1, n))
+    lng = rng.uniform(-math.pi, math.pi, n)
+    x = lng * G.EARTH_R_MERC
+    y = np.log(np.tan(math.pi / 4 + lat / 2)) * G.EARTH_R_MERC
+    df = spark.createDataFrame(
+        [(int(m), float(a), float(b)) for m, (a, b) in enumerate(zip(x, y))],
+        "row_id long, x double, y double",
+    )
+    rows = G.with_h3_global_hybrid(df, res).collect()
+    assert len(rows) == n
+    got = {r["row_id"]: r["h3_id"] for r in rows}
+    want = G.geo_to_h3(lat, lng, res)
+    bad = [m for m in range(n) if got[m] != int(want[m])]
+    assert not bad, f"{len(bad)} ids differ, first: {bad[:3]}"
+    assert all(v is not None for v in got.values())

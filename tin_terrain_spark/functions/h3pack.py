@@ -444,6 +444,49 @@ def h3_step_exprs(res: int, q_col: str = "hex_q", r_col: str = "hex_r"):
     cols.append((f"_h3i{res}", f"CAST(({q_col}) - {m0} AS BIGINT)"))
     cols.append((f"_h3j{res}", f"CAST(({r_col}) - {m0} AS BIGINT)"))
     cols.append((f"_h3k{res}", f"CAST(0 - {m0} AS BIGINT)"))
+    cols.extend(_h3_walk_body(res))
+    header = (MODE_CELL << _MODE_OFFSET) | (res << _RES_OFFSET) | (
+        SHIM_BASE_CELL << _BC_OFFSET
+    )
+    for rr in range(res + 1, _MAX_RES + 1):
+        header |= 7 << (3 * (_MAX_RES - rr))
+    digit_sum = " + ".join(
+        f"_h3d{rr} * {1 << (3 * (_MAX_RES - rr))}" for rr in range(1, res + 1)
+    )
+    cols.append(
+        (
+            "h3_id",
+            f"CASE WHEN _h3i0 = 0 AND _h3j0 = 0 AND _h3k0 = 0 "
+            f"THEN CAST({header} AS BIGINT) + ({digit_sum}) ELSE NULL END",
+        )
+    )
+    return cols
+
+
+def h3_walk_ijk_exprs(res: int, i_col: str, j_col: str, k_col: str):
+    """General-IJK form of the walk (the GLOBAL encode front half):
+    start from face-frame (i, j, k) at `res` — NOT required to
+    up-aggregate to the chart origin — and emit the step columns down
+    to the res-0 coords `_h3i0/_h3j0/_h3k0` (the base-cell lookup key)
+    plus the raw digits `_h3d{1..res}`. No packing: the caller looks up
+    the base cell + frame rotation and packs (h3geo.with_h3_global_cols).
+    The spec's sequential negative-removal normalize is the uniform
+    translation x - min(x), so LEAST-subtraction is exact."""
+    cols: list[tuple[str, str]] = []
+    m0 = f"LEAST({i_col}, {j_col}, {k_col})"
+    cols.append((f"_h3i{res}", f"CAST(({i_col}) - {m0} AS BIGINT)"))
+    cols.append((f"_h3j{res}", f"CAST(({j_col}) - {m0} AS BIGINT)"))
+    cols.append((f"_h3k{res}", f"CAST(({k_col}) - {m0} AS BIGINT)"))
+    cols.extend(_h3_walk_body(res))
+    return cols
+
+
+def _h3_walk_body(res: int):
+    """The shared aperture-7 up-walk step columns: consumes
+    `_h3i{res}/_h3j{res}/_h3k{res}`, emits parents down to level 0 and
+    digits `_h3d{rr}` (identical text to the pre-refactor inline loop —
+    the h3_cells oracle twin depends on the semantics, not the text)."""
+    cols: list[tuple[str, str]] = []
     for rr in range(res, 0, -1):
         i, j, k = f"_h3i{rr}", f"_h3j{rr}", f"_h3k{rr}"
         di = f"(({i}) - ({k}))"
@@ -483,21 +526,6 @@ def h3_step_exprs(res: int, q_col: str = "hex_q", r_col: str = "hex_r"):
                 f" + ((({k}) - _h3ck{rr}) - {dm})",
             )
         )
-    header = (MODE_CELL << _MODE_OFFSET) | (res << _RES_OFFSET) | (
-        SHIM_BASE_CELL << _BC_OFFSET
-    )
-    for rr in range(res + 1, _MAX_RES + 1):
-        header |= 7 << (3 * (_MAX_RES - rr))
-    digit_sum = " + ".join(
-        f"_h3d{rr} * {1 << (3 * (_MAX_RES - rr))}" for rr in range(1, res + 1)
-    )
-    cols.append(
-        (
-            "h3_id",
-            f"CASE WHEN _h3i0 = 0 AND _h3j0 = 0 AND _h3k0 = 0 "
-            f"THEN CAST({header} AS BIGINT) + ({digit_sum}) ELSE NULL END",
-        )
-    )
     return cols
 
 
