@@ -102,7 +102,35 @@ def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None"
         except ValueError:
             return None
         return px[: min(int(height), 32), : min(int(width), 32)]
+    from ..kernels import gif as _gif
+
+    if _gif.is_gif(payload):
+        try:
+            px = _png.to_gray_f32(_gif.decode_gif(payload))
+        except ValueError:
+            return None
+        return px[: min(int(height), 32), : min(int(width), 32)]
     return None
+
+
+def _decode_frame_real(payload: bytes, width: int, height: int,
+                       frame_idx: int) -> "np.ndarray | None":
+    """Real FRAME decode: animated GIF is the one multi-frame format
+    with an in-container codec (kernels/gif.py), so frame sampling is
+    real for it — frame_idx indexes the composited animation (clamped
+    to the last frame, like a player holding the final still). Returns
+    None for non-GIF payloads (caller falls back to the stub)."""
+    from ..kernels import gif as _gif
+    from ..kernels import png as _png
+
+    if not payload or not _gif.is_gif(payload):
+        return None
+    try:
+        frames = _gif.decode_gif_frames(payload)
+    except ValueError:
+        return None
+    px = _png.to_gray_f32(frames[min(frame_idx, len(frames) - 1)])
+    return px[: min(int(height), 32), : min(int(width), 32)]
 
 
 def _decode_stub(payload: bytes, width: int, height: int, frame_salt: int = 0) -> np.ndarray:
@@ -135,11 +163,14 @@ def _decode_pixels(payload: bytes, width: int, height: int, frame_salt: int = 0)
     bytes decode as an image; the deterministic stub otherwise (always
     the case for synth_media's hex-digest payloads, so the oracle gate
     keeps checking the stub path even in a PIL-equipped image).
-    Video frame extraction (frame_salt > 0) has no PIL path."""
+    Frame extraction (frame_salt > 0) is real for animated GIF
+    (_decode_frame_real); other video containers stay stubbed."""
     if frame_salt == 0:
         real = _decode_real(payload, width, height)
-        if real is not None:
-            return real
+    else:
+        real = _decode_frame_real(payload, width, height, frame_salt)
+    if real is not None:
+        return real
     return _decode_stub(payload, width, height, frame_salt)
 
 
