@@ -70,8 +70,11 @@ except ImportError:  # this container ships no codec libs
 
 def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None":
     """Real decode: PIL when importable (any format), else the
-    pure-NumPy PNG reader (kernels/png.py — stdlib zlib, no image
-    libs), so PNG payloads decode for real even in this container.
+    in-container pure-NumPy codecs — PNG (kernels/png.py), baseline
+    JPEG (kernels/jpeg.py), GIF (kernels/gif.py), BMP (kernels/bmp.py),
+    netpbm PBM/PGM/PPM (kernels/netpbm.py), and (Geo)TIFF through the
+    engine's own sources/geotiff.py reader (elevations min-max
+    normalized) — so all of those decode for real with no image libs.
     Grayscale float32 pixels in [0, 1), cropped to the stub's 32x32
     budget so downstream pooling shapes match. Returns None when the
     bytes aren't a decodable image (caller falls back to the stub)."""
@@ -110,6 +113,43 @@ def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None"
         except ValueError:
             return None
         return px[: min(int(height), 32), : min(int(width), 32)]
+    from ..kernels import bmp as _bmp
+
+    if _bmp.is_bmp(payload):
+        try:
+            px = _png.to_gray_f32(_bmp.decode_bmp(payload))
+        except ValueError:
+            return None
+        return px[: min(int(height), 32), : min(int(width), 32)]
+    from ..kernels import netpbm as _pnm
+
+    if _pnm.is_netpbm(payload):
+        try:
+            px = _png.to_gray_f32(_pnm.decode_netpbm(payload))
+        except ValueError:
+            return None
+        return px[: min(int(height), 32), : min(int(width), 32)]
+    if payload[:2] in (b"II", b"MM"):  # (Geo)TIFF via the engine's own reader
+        from ..sources.geotiff import read_geotiff
+
+        # arbitrary bytes with a TIFF magic can break the parser in
+        # many ways (struct/index errors, not just ValueError)
+        try:
+            grid = read_geotiff(payload)
+        except Exception:
+            grid = None
+        if grid is not None:
+            z = np.asarray(grid.z, dtype=np.float64)
+            finite = np.isfinite(z)
+            if finite.any():
+                lo = z[finite].min()
+                hi = z[finite].max()
+                span = (hi - lo) or 1.0
+                # elevations min-max normalized into [0, 1) (the decode
+                # contract); nodata renders as 0
+                px = np.where(finite, (z - lo) / span * (255.0 / 256.0), 0.0)
+                px = px.astype(np.float32)
+                return px[: min(int(height), 32), : min(int(width), 32)]
     return None
 
 
