@@ -206,3 +206,43 @@ def test_decode_real_dispatch(tmp_path):
     assert np.allclose(got, want.astype(np.float32))
 
     assert _decode_real(b"not an image at all", 8, 8) is None
+
+
+def test_synth_real_media_decode_identity():
+    """Every synth_real_media format must decode (through the REAL
+    codec path) back to the exact generator pixels — the local twin of
+    the media_decode_real oracle query."""
+    import hashlib
+
+    from tin_terrain_spark.operators.multimodal import (
+        REAL_MEDIA_FORMATS, _decode_real, synth_real_media,
+    )
+
+    assert synth_real_media is not None  # Spark surface; see gate query
+    # build payloads via the same generator + encoders the operator runs
+    for d in range(10):
+        text = f"doc {d} text"
+        seed = int(hashlib.sha256(text.encode()).hexdigest()[:14], 16)
+        w, h = d * 37 % 12 + 4, d * 53 % 12 + 4
+        r = np.arange(1, h + 1, dtype=np.int64)[:, None]
+        c = np.arange(1, w + 1, dtype=np.int64)[None, :]
+        v = (seed + r * 1315423911 + c * 2654435761) % 65521 % 256
+        px = v.astype(np.uint8)
+        k = d % 5
+        from tin_terrain_spark.kernels import bmp as KB
+        from tin_terrain_spark.kernels import gif as KG
+        from tin_terrain_spark.kernels import netpbm as KN
+        from tin_terrain_spark.kernels import png as KP
+
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        payload = [
+            lambda: KN.encode_netpbm(px),
+            lambda: KN.encode_netpbm(px, plain=True),
+            lambda: KB.encode_bmp(px),
+            lambda: KP.encode_png(px),
+            lambda: KG.encode_gif(px, pal),
+        ][k]()
+        got = _decode_real(payload, w, h)
+        assert got is not None, REAL_MEDIA_FORMATS[k]
+        want = (v / 256.0).astype(np.float32)
+        assert np.array_equal(got, want), REAL_MEDIA_FORMATS[k]

@@ -48,6 +48,75 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+REAL_MEDIA_FORMATS = ("pgm", "pnm", "bmp", "png", "gif")
+
+
+def synth_real_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL image files — one per doc, format rotating
+    through binary PGM (P5), plain PGM (P2), 24-bit BMP, grayscale
+    PNG, and palette GIF — built from the same exact-integer pixel
+    generator as the decode stub, so the downstream decode→feature
+    pipeline stays fully DuckDB-oracled while exercising the REAL
+    in-container codecs (kernels/{netpbm,bmp,png,gif}.py) end-to-end
+    in the distributed plan. px(r, c) = ((seed + r·A + c·B) % 65521)
+    % 256, seed = first 14 hex chars of sha256(text) — the oracle
+    recomputes this in closed form and never touches a codec."""
+
+    def op(batches):
+        import hashlib
+
+        from ..kernels import bmp as _bmp
+        from ..kernels import gif as _gif
+        from ..kernels import netpbm as _pnm
+        from ..kernels import png as _png
+
+        gray_pal = np.repeat(
+            np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+        )
+        for pdf in batches:
+            payloads, fmts, ws, hs = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                seed = int(
+                    hashlib.sha256(text.encode("utf-8")).hexdigest()[:14], 16
+                )
+                w = d * 37 % 12 + 4
+                h = d * 53 % 12 + 4
+                r = np.arange(1, h + 1, dtype=np.int64)[:, None]
+                c = np.arange(1, w + 1, dtype=np.int64)[None, :]
+                px = (
+                    (seed + r * 1315423911 + c * 2654435761) % 65521 % 256
+                ).astype(np.uint8)
+                k = d % 5
+                if k == 0:
+                    payload = _pnm.encode_netpbm(px)
+                elif k == 1:
+                    payload = _pnm.encode_netpbm(px, plain=True)
+                elif k == 2:
+                    payload = _bmp.encode_bmp(px)  # gray replicated to RGB
+                elif k == 3:
+                    payload = _png.encode_png(px)
+                else:
+                    payload = _gif.encode_gif(px, gray_pal)
+                payloads.append(payload)
+                fmts.append(REAL_MEDIA_FORMATS[k])
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": fmts,
+                    "width": np.array(ws, dtype=np.int32),
+                    "height": np.array(hs, dtype=np.int32),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, "doc_id BIGINT, media_type STRING, width INT, height INT, payload BINARY"
+    )
+
+
 def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Inverse of the synth step: strip the wrapper — the byte-identical
     text invariant (BASELINE.md per-row invariant) is asserted on this."""

@@ -1127,3 +1127,69 @@ def _sql_dedup_keep() -> str:
 
 QUERIES_EXT["dedup_keep"] = q_dedup_keep
 ORACLES_EXT["dedup_keep"] = _sql_dedup_keep()
+
+
+def q_media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec round-trip, distributed: deterministic image FILES
+    (P5/P2 PGM, 24-bit BMP, gray PNG, palette GIF — synth_real_media)
+    are decoded by the in-container pure-NumPy codecs inside the
+    image_features mapInPandas stage, then pooled. Pixels come from an
+    exact-integer generator, so the oracle recomputes the expected
+    features in closed form WITHOUT any codec — a value-exact check
+    that encode→decode→gray→pool is the identity the generator
+    predicts, for every format, through the real Arrow plan."""
+    from .operators.multimodal import image_features, synth_real_media
+
+    # small parquet reads as ONE partition (NOTES environment facts);
+    # encode+decode is ~0.7 ms/doc of Python CPU, so spread it
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = image_features(synth_real_media(docs))
+    return feats.select(
+        "doc_id",
+        F.col("media_type").alias("format"),
+        F.posexplode("feature").alias("dim", "fval"),
+    ).select(
+        "doc_id",
+        "format",
+        F.col("dim").cast("int").alias("dim"),
+        F.col("fval").cast("double").alias("fval"),
+    )
+
+
+# gray value per pixel: ((seed + r*A + c*B) % 65521) % 256, seen by the
+# decoder as v/256 (PGM/PNG directly; BMP/GIF via the exact (v,v,v)
+# luma identity (v*299+v*587+v*114)//1000 == v). feature[j] = column
+# sum over rows for j < width, zero-padded to 16 dims.
+SQL_MEDIA_DECODE_REAL = """
+  WITH m AS (
+    SELECT doc_id,
+           ['pgm','pnm','bmp','png','gif'][CAST(doc_id % 5 AS INT) + 1]
+             AS format,
+           doc_id * 37 % 12 + 4 AS w,
+           doc_id * 53 % 12 + 4 AS h,
+           CAST(concat('0x', substr(sha256(text), 1, 14)) AS BIGINT) AS seed
+    FROM documents
+  ),
+  vals AS (
+    SELECT doc_id, j,
+           sum(CAST((seed + (r + 1) * 1315423911 + (j + 1) * 2654435761)
+                    % 65521 % 256 AS DOUBLE) / 256) AS s
+    FROM m,
+    LATERAL (SELECT unnest(range(0, 16)) AS j) dj,
+    LATERAL (SELECT unnest(range(0, h)) AS r) dr
+    WHERE j < w
+    GROUP BY doc_id, j
+  ),
+  grid AS (
+    SELECT m.doc_id, m.format, dj.j
+    FROM m, LATERAL (SELECT unnest(range(0, 16)) AS j) dj
+  )
+  SELECT g.doc_id, g.format, CAST(g.j AS INT) AS dim,
+         COALESCE(v.s, 0e0) + 0e0 AS fval
+  FROM grid g LEFT JOIN vals v ON v.doc_id = g.doc_id AND v.j = g.j
+"""
+
+QUERIES_EXT["media_decode_real"] = q_media_decode_real
+ORACLES_EXT["media_decode_real"] = SQL_MEDIA_DECODE_REAL
