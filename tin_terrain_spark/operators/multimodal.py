@@ -117,6 +117,125 @@ def synth_real_media(docs: DataFrame) -> DataFrame:
     )
 
 
+REAL_AUDIO_FORMATS = ("pcm16", "pcm8", "pcm16st", "f32")
+
+
+def synth_real_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV files — format rotating through 16-bit
+    mono PCM, 8-bit mono PCM, 16-bit stereo PCM, and IEEE float32 —
+    from the exact-integer sample generator k(t) = (seed + (t+1)·B)
+    % 65521 (seed = first 14 hex chars of sha256(text)), so the
+    decode→feature path is DuckDB-oracled in closed form while
+    exercising the real RIFF/WAVE codec (kernels/wav.py) end-to-end
+    in the distributed plan. Every sample mapping is a dyadic scale:
+    the decoded float32 values are bit-exact."""
+
+    def op(batches):
+        import hashlib
+
+        from ..kernels import wav as _wav
+
+        for pdf in batches:
+            payloads, fmts, lens = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                seed = int(
+                    hashlib.sha256(text.encode("utf-8")).hexdigest()[:14], 16
+                )
+                n = d * 31 % 1024 + 256
+                t = np.arange(1, n + 1, dtype=np.int64)
+                k = (seed + t * 2654435761) % 65521
+                f = d % 4
+                if f == 0:
+                    payload = _wav.encode_wav(
+                        (k - 32768).astype(np.int16), 8000, bits=16
+                    )
+                elif f == 1:
+                    payload = _wav.encode_wav(
+                        (k % 256).astype(np.uint8), 8000, bits=8
+                    )
+                elif f == 2:
+                    st = np.column_stack(
+                        [k - 32768, (3 * k) % 65521 - 32768]
+                    ).astype(np.int16)
+                    payload = _wav.encode_wav(st, 8000, bits=16)
+                else:
+                    payload = _wav.encode_wav(
+                        (k.astype(np.float64) / 65536.0).astype(np.float32),
+                        8000, bits=32,
+                    )
+                payloads.append(payload)
+                fmts.append(REAL_AUDIO_FORMATS[f])
+                lens.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": fmts,
+                    "n_samples": np.array(lens, dtype=np.int32),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op, "doc_id BIGINT, media_type STRING, n_samples INT, payload BINARY"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, block INT, bsum DOUBLE, bsq DOUBLE"
+)
+
+
+def audio_features(media: DataFrame, blocks: int = 8) -> DataFrame:
+    """WAV decode → per-block waveform energy features, batched via
+    mapInPandas (the Arrow batch is the decode unit, same shape as
+    image_features). Channels are mean-merged; per block: sample sum
+    and sum of squares — both exact dyadic arithmetic, so the whole
+    path has a value-exact SQL oracle. Non-WAV payloads fall back to
+    the deterministic stub waveform (hash-seeded), mirroring the image
+    stub contract."""
+
+    def op(batches):
+        from ..kernels import wav as _wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "block": [],
+                   "bsum": [], "bsq": []}
+            for doc_id, mtype, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                x = None
+                if _wav.is_wav(data):
+                    try:
+                        samples, _rate = _wav.decode_wav(data)
+                        x = samples.astype(np.float64).mean(axis=1)
+                    except ValueError:
+                        x = None
+                if x is None:  # stub waveform from the payload hash
+                    try:
+                        seed = int(data[:14], 16) if data else 0
+                    except ValueError:
+                        seed = int.from_bytes(data[:7], "big")
+                    t = np.arange(1, 257, dtype=np.int64)
+                    x = ((seed + t * 2654435761) % 65521) / 65536.0
+                hop = len(x) // blocks
+                if hop == 0:  # shorter than one sample per block
+                    x = np.pad(x, (0, blocks - len(x)))
+                    hop = 1
+                xb = x[: hop * blocks].reshape(blocks, hop)
+                bs = xb.sum(axis=1)
+                bq = (xb * xb).sum(axis=1)
+                out["doc_id"].extend([int(doc_id)] * blocks)
+                out["media_type"].extend([mtype] * blocks)
+                out["block"].extend(range(blocks))
+                out["bsum"].extend(bs.tolist())
+                out["bsq"].extend(bq.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, AUDIO_FEATURE_SCHEMA)
+
+
 def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Inverse of the synth step: strip the wrapper — the byte-identical
     text invariant (BASELINE.md per-row invariant) is asserted on this."""

@@ -1193,3 +1193,70 @@ SQL_MEDIA_DECODE_REAL = """
 
 QUERIES_EXT["media_decode_real"] = q_media_decode_real
 ORACLES_EXT["media_decode_real"] = SQL_MEDIA_DECODE_REAL
+
+
+def q_audio_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio round-trip, distributed: deterministic WAV files
+    (16-bit mono / 8-bit mono / 16-bit stereo PCM / IEEE float32 —
+    synth_real_audio) are decoded by the pure-NumPy RIFF/WAVE codec
+    inside the audio_features mapInPandas stage, then block-pooled to
+    per-block sum + energy. Every sample mapping is dyadic, so the
+    oracle recomputes the features in closed form WITHOUT the codec."""
+    from .operators.multimodal import audio_features, synth_real_audio
+
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = audio_features(synth_real_audio(docs))
+    return feats.select(
+        "doc_id",
+        F.col("media_type").alias("format"),
+        F.col("block").cast("int").alias("block"),
+        F.col("bsum").cast("double").alias("bsum"),
+        F.col("bsq").cast("double").alias("bsq"),
+    )
+
+
+# sample k(t) = (seed + (t+1)*B) % 65521; decoded value per format is
+# a dyadic rescale (int16/32768, (uint8-128)/128, stereo channel-mean,
+# float32 k/65536) — all exact in float32 AND double, so block sums
+# and sums-of-squares are value-exact across engines.
+SQL_AUDIO_DECODE_REAL = """
+  WITH m AS (
+    SELECT doc_id,
+           ['pcm16','pcm8','pcm16st','f32'][CAST(doc_id % 4 AS INT) + 1]
+             AS format,
+           doc_id * 31 % 1024 + 256 AS n,
+           CAST(concat('0x', substr(sha256(text), 1, 14)) AS BIGINT) AS seed
+    FROM documents
+  ),
+  s AS (
+    SELECT doc_id, format,
+           CAST(FLOOR(t / FLOOR(n / 8)) AS INT) AS block,
+           (seed + (t + 1) * 2654435761) % 65521 AS k
+    FROM m,
+    LATERAL (
+      SELECT unnest(range(0, CAST(FLOOR(n / 8) AS BIGINT) * 8)) AS t
+    ) dt
+  ),
+  v AS (
+    SELECT doc_id, format, block,
+           CASE format
+             WHEN 'pcm16'
+               THEN (CAST(k AS DOUBLE) - 32768e0) / 32768e0
+             WHEN 'pcm8'
+               THEN (CAST(k % 256 AS DOUBLE) - 128e0) / 128e0
+             WHEN 'pcm16st'
+               THEN (CAST(k AS DOUBLE) + CAST((3 * k) % 65521 AS DOUBLE)
+                     - 65536e0) / 65536e0
+             ELSE CAST(k AS DOUBLE) / 65536e0
+           END AS x
+    FROM s
+  )
+  SELECT doc_id, format, block,
+         sum(x) + 0e0 AS bsum, sum(x * x) + 0e0 AS bsq
+  FROM v GROUP BY doc_id, format, block
+"""
+
+QUERIES_EXT["audio_decode_real"] = q_audio_decode_real
+ORACLES_EXT["audio_decode_real"] = SQL_AUDIO_DECODE_REAL
