@@ -181,6 +181,72 @@ def synth_real_audio(docs: DataFrame) -> DataFrame:
     )
 
 
+def _uniform_jpeg_frame_cache():
+    """256 uniform 16x16 grayscale JPEG frames, built once per Python
+    worker (uniform blocks survive DCT quantization exactly, so the
+    decoded value is bit-equal to the generator — the oracle relies on
+    this)."""
+    global _UNIFORM_FRAMES
+    try:
+        return _UNIFORM_FRAMES
+    except NameError:
+        from ..kernels import jpeg as _jpeg
+
+        _UNIFORM_FRAMES = [
+            _jpeg.encode_jpeg(np.full((16, 16), v, np.uint8), quality=90)
+            for v in range(256)
+        ]
+        return _UNIFORM_FRAMES
+
+
+def synth_real_video(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL MJPEG-AVI videos: n_frames uniform-gray
+    16x16 JPEG frames (value v_f = ((seed + (f+1)·C) % 65521) % 256,
+    C the frame-salt constant) muxed into a standard AVI container
+    (kernels/avi.py). Frame sampling over these payloads demuxes and
+    JPEG-decodes for REAL, and because uniform frames decode exactly,
+    the whole path keeps a closed-form DuckDB oracle."""
+
+    def op(batches):
+        import hashlib
+
+        from ..kernels import avi as _avi
+
+        frames_by_v = _uniform_jpeg_frame_cache()
+        for pdf in batches:
+            payloads, ns = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                seed = int(
+                    hashlib.sha256(text.encode("utf-8")).hexdigest()[:14], 16
+                )
+                n = d * 7 % 48 + 1
+                f = np.arange(1, n + 1, dtype=np.int64)
+                v = (seed + f * 2246822519) % 65521 % 256
+                payloads.append(
+                    _avi.encode_avi_mjpeg(
+                        [frames_by_v[int(x)] for x in v], 16, 16
+                    )
+                )
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "width": np.full(len(pdf), 16, dtype=np.int32),
+                    "height": np.full(len(pdf), 16, dtype=np.int32),
+                    "n_frames": np.array(ns, dtype=np.int32),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        op,
+        "doc_id BIGINT, media_type STRING, width INT, height INT, "
+        "n_frames INT, payload BINARY",
+    )
+
+
 AUDIO_FEATURE_SCHEMA = (
     "doc_id BIGINT, media_type STRING, block INT, bsum DOUBLE, bsq DOUBLE"
 )
@@ -317,6 +383,14 @@ def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None"
         except ValueError:
             return None
         return px[: min(int(height), 32), : min(int(width), 32)]
+    from ..kernels import avi as _avi
+
+    if _avi.is_avi(payload):  # first frame, like the GIF still path
+        try:
+            px = _png.to_gray_f32(np.atleast_3d(_avi.decode_avi_frame(payload, 0)))
+        except ValueError:
+            return None
+        return px[: min(int(height), 32), : min(int(width), 32)]
     if payload[:2] in (b"II", b"MM"):  # (Geo)TIFF via the engine's own reader
         from ..sources.geotiff import read_geotiff
 
@@ -343,22 +417,33 @@ def _decode_real(payload: bytes, width: int, height: int) -> "np.ndarray | None"
 
 def _decode_frame_real(payload: bytes, width: int, height: int,
                        frame_idx: int) -> "np.ndarray | None":
-    """Real FRAME decode: animated GIF is the one multi-frame format
-    with an in-container codec (kernels/gif.py), so frame sampling is
-    real for it — frame_idx indexes the composited animation (clamped
+    """Real FRAME decode: animated GIF (kernels/gif.py) and MJPEG AVI
+    (kernels/avi.py demux + kernels/jpeg.py per-frame decode) are the
+    multi-frame formats with in-container codecs, so frame sampling is
+    real for both — frame_idx indexes the animation/stream (clamped
     to the last frame, like a player holding the final still). Returns
-    None for non-GIF payloads (caller falls back to the stub)."""
+    None for other payloads (caller falls back to the stub)."""
+    from ..kernels import avi as _avi
     from ..kernels import gif as _gif
     from ..kernels import png as _png
 
-    if not payload or not _gif.is_gif(payload):
+    if not payload:
         return None
-    try:
-        frames = _gif.decode_gif_frames(payload)
-    except ValueError:
-        return None
-    px = _png.to_gray_f32(frames[min(frame_idx, len(frames) - 1)])
-    return px[: min(int(height), 32), : min(int(width), 32)]
+    if _gif.is_gif(payload):
+        try:
+            frames = _gif.decode_gif_frames(payload)
+        except ValueError:
+            return None
+        px = _png.to_gray_f32(frames[min(frame_idx, len(frames) - 1)])
+        return px[: min(int(height), 32), : min(int(width), 32)]
+    if _avi.is_avi(payload):
+        try:
+            frame = _avi.decode_avi_frame(payload, frame_idx)
+        except ValueError:
+            return None
+        px = _png.to_gray_f32(np.atleast_3d(frame))
+        return px[: min(int(height), 32), : min(int(width), 32)]
+    return None
 
 
 def _decode_stub(payload: bytes, width: int, height: int, frame_salt: int = 0) -> np.ndarray:
@@ -475,42 +560,83 @@ def resize_media(media: DataFrame, out: int = 8) -> DataFrame:
     return media.mapInPandas(op, RESIZE_SCHEMA)
 
 
+def _decode_frames_real(payload: bytes, width: int, height: int,
+                        idxs: list) -> "list | None":
+    """Demux a real multi-frame container ONCE and decode only the
+    requested frame indices (clamped to the last frame). GIF decodes
+    the whole composited animation in one pass; AVI demuxes the chunk
+    list once and JPEG-decodes only the sampled chunks. Returns None
+    for payloads that aren't a known container (stub fallback)."""
+    from ..kernels import avi as _avi
+    from ..kernels import gif as _gif
+    from ..kernels import png as _png
+
+    h, w = min(int(height), 32), min(int(width), 32)
+    if not payload:
+        return None
+    if _gif.is_gif(payload):
+        try:
+            frames = _gif.decode_gif_frames(payload)
+        except ValueError:
+            return None
+        return [
+            _png.to_gray_f32(frames[min(i, len(frames) - 1)])[:h, :w]
+            for i in idxs
+        ]
+    if _avi.is_avi(payload):
+        from ..kernels import jpeg as _jpeg
+
+        try:
+            chunks = _avi.avi_frame_chunks(payload)
+            out = []
+            for i in idxs:
+                fr = _jpeg.decode_jpeg(chunks[min(i, len(chunks) - 1)])
+                out.append(_png.to_gray_f32(np.atleast_3d(fr))[:h, :w])
+            return out
+        except ValueError:
+            return None
+    return None
+
+
 def sample_frames(media: DataFrame, every: int = 10, dim: int = 8) -> DataFrame:
-    """Frame sampling for video rows: explode frame indices 0, every,
-    2*every, ... < n_frames, then per-frame stub features. The explode
-    happens JVM-side (sequence), only the decode is Python."""
-    video = media.filter(F.col("media_type") == "video")
-    frames = video.select(
-        "doc_id",
-        "width",
-        "height",
-        "payload",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
-        ).alias("frame_idx"),
+    """Frame sampling for video rows. Each container payload crosses
+    Arrow exactly ONCE and is demuxed once per doc inside the op —
+    never exploded JVM-side, which would duplicate the (at 100 TB,
+    ~100 MB) payload per sampled frame through the plan. Real demux +
+    decode for GIF animations and MJPEG AVI; per-index stub features
+    otherwise."""
+    video = media.filter(F.col("media_type") == "video").select(
+        "doc_id", "width", "height", "n_frames", "payload"
     )
 
     def op(batches):
         for pdf in batches:
-            feats = []
-            for payload, w, h, i in zip(
-                pdf["payload"], pdf["width"], pdf["height"], pdf["frame_idx"]
+            doc_ids, frame_idxs, feats = [], [], []
+            for doc_id, w, h, nf, payload in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"],
+                pdf["n_frames"], pdf["payload"],
             ):
-                px = _decode_pixels(
-                    bytes(payload) if payload is not None else b"",
-                    int(w),
-                    int(h),
-                    frame_salt=int(i),
-                )
-                feats.append(
-                    px.sum(axis=0, dtype=np.float64)[:dim].astype(np.float32).tolist()
-                )
+                data = bytes(payload) if payload is not None else b""
+                idxs = list(range(0, int(nf), every))
+                pxs = _decode_frames_real(data, int(w), int(h), idxs)
+                if pxs is None:
+                    pxs = [
+                        _decode_stub(data, int(w), int(h), frame_salt=i)
+                        for i in idxs
+                    ]
+                for i, px in zip(idxs, pxs):
+                    doc_ids.append(int(doc_id))
+                    frame_idxs.append(i)
+                    feats.append(
+                        px.sum(axis=0, dtype=np.float64)[:dim]
+                        .astype(np.float32).tolist()
+                    )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "frame_idx": pdf["frame_idx"],
+                    "doc_id": np.array(doc_ids, dtype=np.int64),
+                    "frame_idx": np.array(frame_idxs, dtype=np.int32),
                     "frame_feature": feats,
                 }
             )
 
-    return frames.mapInPandas(op, FRAME_SCHEMA)
+    return video.mapInPandas(op, FRAME_SCHEMA)

@@ -1260,3 +1260,48 @@ SQL_AUDIO_DECODE_REAL = """
 
 QUERIES_EXT["audio_decode_real"] = q_audio_decode_real
 ORACLES_EXT["audio_decode_real"] = SQL_AUDIO_DECODE_REAL
+
+
+def q_video_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video round-trip, distributed: MJPEG-AVI payloads
+    (synth_real_video — uniform-gray JPEG frames in a standard AVI
+    container) flow through the UNCHANGED sample_frames operator,
+    which now demuxes the container and JPEG-decodes each sampled
+    frame for real. Uniform frames survive DCT quantization exactly,
+    so the per-frame features stay closed-form oracle-checkable."""
+    from .operators.multimodal import sample_frames, synth_real_video
+
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    frames = sample_frames(synth_real_video(docs))
+    return frames.select(
+        "doc_id", "frame_idx", F.posexplode("frame_feature").alias("dim", "fval")
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("dim").cast("int").alias("dim"),
+        F.col("fval").cast("double").alias("fval"),
+    )
+
+
+# frame f is uniform gray v = ((seed + (f+1)*C) % 65521) % 256; the
+# pooled feature is 16 rows of v/256 -> v/16 in every dim (exact in
+# float32: v <= 255 -> 8 mantissa bits over a power-of-two scale).
+SQL_VIDEO_DECODE_REAL = """
+  WITH m AS (
+    SELECT doc_id,
+           doc_id * 7 % 48 + 1 AS n_frames,
+           CAST(concat('0x', substr(sha256(text), 1, 14)) AS BIGINT) AS seed
+    FROM documents
+  )
+  SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(j AS INT) AS dim,
+         CAST((seed + (f + 1) * 2246822519) % 65521 % 256 AS DOUBLE)
+           / 16e0 AS fval
+  FROM m,
+  LATERAL (SELECT unnest(range(0, n_frames, 10)) AS f) df,
+  LATERAL (SELECT unnest(range(0, 8)) AS j) dj
+"""
+
+QUERIES_EXT["video_decode_real"] = q_video_decode_real
+ORACLES_EXT["video_decode_real"] = SQL_VIDEO_DECODE_REAL
