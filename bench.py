@@ -131,6 +131,11 @@ def bench_queries():
         "media_features": ("media", QE.QUERIES_EXT["media_features"]),
         "media_resize": ("media", QE.QUERIES_EXT["media_resize"]),
         "frame_sample": ("media", QE.QUERIES_EXT["frame_sample"]),
+        # real-codec round trips: PGM/BMP/PNG/GIF images, WAV audio,
+        # MJPEG-AVI video — encode + demux + decode inside the plan
+        "media_decode_real": ("media", QE.QUERIES_EXT["media_decode_real"]),
+        "audio_decode_real": ("media", QE.QUERIES_EXT["audio_decode_real"]),
+        "video_decode_real": ("media", QE.QUERIES_EXT["video_decode_real"]),
     }
 
 
