@@ -77,6 +77,7 @@ def bench_queries():
         "h3_cells": ("relational", QE.QUERIES_EXT["h3_cells"]),
         "h3_rollup": ("relational", QE.QUERIES_EXT["h3_rollup"]),
         "face_cells": ("relational", QE.QUERIES_EXT["face_cells"]),
+        "h3_global": ("relational", QE.QUERIES_EXT["h3_global"]),
         "minhash": ("dedup", QE.QUERIES_EXT["minhash"]),
         "lsh_candidates": ("dedup", QE.QUERIES_EXT["lsh_candidates"]),
         "near_dup_pairs": ("dedup", QE.QUERIES_EXT["near_dup_pairs"]),

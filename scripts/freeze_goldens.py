@@ -55,7 +55,7 @@ def main() -> None:
     spark = get_spark("freeze_goldens", cores=8)
     qs = E.queries()
     golden: dict[str, dict] = {}
-    for name in ["terra_tiles", "zemlya_tiles", "tiles_obj", "points_mesh", "curvature_tiles"]:
+    for name in ["terra_tiles", "zemlya_tiles", "tiles_obj", "points_mesh", "curvature_tiles", "h3_global"]:
         fn = qs[name]
         per_fp = {}
         cols = None

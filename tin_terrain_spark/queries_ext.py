@@ -1305,3 +1305,87 @@ SQL_VIDEO_DECODE_REAL = """
 
 QUERIES_EXT["video_decode_real"] = q_video_decode_real
 ORACLES_EXT["video_decode_real"] = SQL_VIDEO_DECODE_REAL
+
+
+H3_GLOBAL_RES = 2  # ~5.9k cells globally; every base cell reachable
+
+
+def q_h3_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL icosahedral H3 cell rollup (functions/h3geo.py +
+    h3base.py — the numerically-derived 122-base-cell grid): the bulk
+    path is pure JVM Column algebra (with_h3_global_cols), with only
+    pentagon-disc rows crossing into the exact NumPy re-walk
+    (with_h3_global_hybrid). Deterministic → golden-row oracle
+    (freeze_goldens.py), hardened by a TRUE-oracled independent
+    invariant: every emitted cell id must decode to a center that
+    re-encodes to the same id at the same resolution (enc∘dec
+    identity over the derived global grid — a wrong id fails even
+    though the numeric columns are frozen)."""
+    import math
+
+    import pandas as pd
+
+    from .functions import h3geo as HG
+    from .functions.h3geo import EARTH_R_MERC
+
+    pts = geocode_points(
+        _docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False
+    ).select("doc_id", "x", "y")
+
+    def encode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            x = pdf["x"].to_numpy(float)
+            y = pdf["y"].to_numpy(float)
+            lat = 2.0 * np.arctan(np.exp(y / EARTH_R_MERC)) - math.pi / 2.0
+            lng = x / EARTH_R_MERC
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "h3_id": HG.geo_to_h3(lat, lng, H3_GLOBAL_RES),
+                }
+            )
+
+    # map-only vectorized NumPy encode (derived tables lru-cached per
+    # Python worker): a single scan, no shuffle before the rollup —
+    # the 10^12-row shape. The pure-Column twin + hybrid split
+    # (with_h3_global_cols / _hybrid) are row-equality-tested against
+    # this exact kernel in tests/test_h3global.py; the Column build
+    # costs ~2 s of driver-side expression construction per fresh
+    # plan, which dominates at gate/bench corpus sizes, so the catalog
+    # query uses the kernel path.
+    ids = pts.mapInPandas(encode, "doc_id BIGINT, h3_id BIGINT")
+    cells = ids.groupBy("h3_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+    def check(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf["roundtrip_ok"] = pd.Series([], dtype=bool)
+                yield pdf
+                continue
+            h = pdf["h3_id"].to_numpy(np.int64)
+            lat, lng = HG.h3_to_geo(h)
+            again = HG.geo_to_h3(lat, lng, H3_GLOBAL_RES)
+            res_bits = (h >> 52) & 0xF
+            out = pdf.copy()
+            out["roundtrip_ok"] = (again == h) & (res_bits == H3_GLOBAL_RES)
+            yield out
+
+    return cells.mapInPandas(
+        check,
+        "h3_id BIGINT, n_docs BIGINT, first_doc BIGINT, roundtrip_ok BOOLEAN",
+    )
+
+
+QUERIES_EXT["h3_global"] = q_h3_global
+try:
+    ORACLES_EXT["h3_global"] = _golden_oracle_sql(
+        "h3_global", ("roundtrip_ok",)
+    )
+except KeyError:
+    pass  # goldens.json not yet refrozen for this query
