@@ -666,3 +666,34 @@ def test_dedup_keep_semantics(spark):
                    (cid == F.col("doc_id")).alias("keep")).collect()}
     assert out == {1: (1, True), 2: (1, False), 3: (1, False),
                    5: (5, True), 7: (7, True), 9: (7, False)}
+
+
+def test_lm_score_properties(spark):
+    """Unigram surprisal: hand-checkable on a tiny corpus — a doc made
+    of the corpus's most common token scores the fewest bits/token,
+    rare-token docs the most, and the exact value matches the closed
+    form for a known distribution."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from tin_terrain_spark.operators.textops import lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa aa"),          # 4x the common token
+            (1, "aa aa bb bb"),          # mixed
+            (2, "zz yy"),                # two singletons
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    # corpus: aa x6, bb x2, zz x1, yy x1 -> total 10
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["bits_per_token"] == round(math.log2(10) - math.log2(6), 6)
+    assert out[2]["bits_per_token"] == round(math.log2(10) - 0.0, 6)
+    assert (
+        out[0]["bits_per_token"]
+        < out[1]["bits_per_token"]
+        < out[2]["bits_per_token"]
+    )

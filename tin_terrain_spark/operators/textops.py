@@ -329,3 +329,57 @@ def sql_quality_filter(min_tokens: int = 20, max_tokens: int = 100000,
                AND round(CAST(n_stop AS DOUBLE) / n_tokens, 6) >= {min_stopword_frac} AS keep
       FROM j
     """
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per-doc mean
+    surprisal (bits/token) under the corpus's own unigram distribution
+    — the cheap stand-in for the KenLM perplexity filter used by
+    published web-text pipelines (low bits = boilerplate/common, high
+    bits = rare-token noise; both tails get filtered in practice).
+
+    bits/token = log2(total_tokens) - avg(log2(count(tok))), which
+    needs the token↔count join but never materializes p(tok) per row.
+    100 TB shape: ONE map-side-combinable vocab aggregation, a hash
+    equi-join of the token stream against the vocab (both sides
+    partitioned by tok), then the per-doc re-aggregation — two
+    shuffles, no UDF, no driver state; the total arrives via a
+    broadcast single-row cross join. Rounded to 6 dp so the double
+    reduction order (Spark partial aggs vs sequential) cannot flip
+    the comparison."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log2("cnt")).alias("_mean_log_cnt"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.log2("total") - F.col("_mean_log_cnt"), 6).alias(
+            "bits_per_token"
+        ),
+    )
+
+
+def sql_lm_score() -> str:
+    return """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ),
+      counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+      SELECT t.doc_id, count(*) AS n_tokens,
+             round(log2((SELECT total FROM tot))
+                   - avg(log2(CAST(c.cnt AS DOUBLE))), 6) AS bits_per_token
+      FROM toks t JOIN counts c USING (tok)
+      GROUP BY t.doc_id
+    """

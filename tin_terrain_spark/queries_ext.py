@@ -1382,6 +1382,17 @@ def q_h3_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM perplexity proxy (textops.lm_score): the CCNet-style
+    quality score, fully DuckDB-oracled (rounded to 6 dp against the
+    reduction-order difference)."""
+    return T.lm_score(_docs(spark, sf_dir))
+
+
+QUERIES_EXT["lm_score"] = q_lm_score
+ORACLES_EXT["lm_score"] = T.sql_lm_score()
+
+
 QUERIES_EXT["h3_global"] = q_h3_global
 try:
     ORACLES_EXT["h3_global"] = _golden_oracle_sql(
