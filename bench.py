@@ -121,6 +121,7 @@ def bench_queries():
         "dedup_keep": ("dedup", QE.QUERIES_EXT["dedup_keep"]),
         "rep_signals": ("text", QE.QUERIES_EXT["rep_signals"]),
         "lm_score": ("text", QE.QUERIES_EXT["lm_score"]),
+        "kmv_distinct": ("text", QE.QUERIES_EXT["kmv_distinct"]),
         "quality_filter": ("text", QE.QUERIES_EXT["quality_filter"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),
         "lang_profile": ("text", QE.QUERIES_EXT["lang_profile"]),

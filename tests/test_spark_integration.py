@@ -697,3 +697,23 @@ def test_lm_score_properties(spark):
         < out[1]["bits_per_token"]
         < out[2]["bits_per_token"]
     )
+
+
+def test_kmv_distinct_sketch(spark):
+    """Bottom-k sketch: groups under k distinct values report the
+    exact count; a large group's estimate lands within the standard
+    KMV error envelope (a deterministic fixture, so the assertion is
+    stable, but the bound asserted is the published ~1/sqrt(k-2))."""
+    import pyspark.sql.functions as F
+
+    from tin_terrain_spark.operators.sketches import kmv_distinct
+
+    small = [("s", f"v{i % 10}") for i in range(100)]      # 10 distinct
+    big = [("b", f"value-{i}") for i in range(20000)]      # 20k distinct
+    df = spark.createDataFrame(small + big, ["g", "v"])
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["s"]["n_exact"] == 10
+    assert out["s"]["kmv_estimate"] == 10.0  # lossless below k
+    est, exact = out["b"]["kmv_estimate"], out["b"]["n_exact"]
+    assert exact == 20000
+    assert abs(est - exact) / exact < 3.0 / (64 - 2) ** 0.5  # ~3 sigma

@@ -1393,6 +1393,32 @@ QUERIES_EXT["lm_score"] = q_lm_score
 ORACLES_EXT["lm_score"] = T.sql_lm_score()
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k distinct sketch (operators/sketches.py):
+    per-language distinct-token estimate next to the exact count.
+    Unlike HLL, the fixed-hash KMV sketch is value-comparable across
+    engines, so the DuckDB oracle recomputes the sketch itself."""
+    from .operators.sketches import kmv_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return kmv_distinct(toks, "lang", "tok", k=64)
+
+
+def _sql_kmv_distinct() -> str:
+    from .operators.sketches import sql_kmv_distinct
+
+    return sql_kmv_distinct(
+        "SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents",
+        "lang", "tok", k=64,
+    )
+
+
+QUERIES_EXT["kmv_distinct"] = q_kmv_distinct
+ORACLES_EXT["kmv_distinct"] = _sql_kmv_distinct()
+
+
 QUERIES_EXT["h3_global"] = q_h3_global
 try:
     ORACLES_EXT["h3_global"] = _golden_oracle_sql(
