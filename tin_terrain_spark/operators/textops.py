@@ -350,7 +350,9 @@ def lm_score(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # persisted: BOTH the join side and the total read it — without
+    # the cache the vocab aggregation (a full corpus scan) runs twice
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
     total = counts.agg(F.sum("cnt").cast("double").alias("total"))
     per_doc = (
         toks.join(counts, "tok")
