@@ -122,6 +122,7 @@ def bench_queries():
         "rep_signals": ("text", QE.QUERIES_EXT["rep_signals"]),
         "lm_score": ("text", QE.QUERIES_EXT["lm_score"]),
         "kmv_distinct": ("text", QE.QUERIES_EXT["kmv_distinct"]),
+        "span_dups": ("dedup", QE.QUERIES_EXT["span_dups"]),
         "quality_filter": ("text", QE.QUERIES_EXT["quality_filter"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),
         "lang_profile": ("text", QE.QUERIES_EXT["lang_profile"]),

@@ -717,3 +717,28 @@ def test_kmv_distinct_sketch(spark):
     est, exact = out["b"]["kmv_estimate"], out["b"]["n_exact"]
     assert exact == 20000
     assert abs(est - exact) / exact < 3.0 / (64 - 2) ** 0.5  # ~3 sigma
+
+
+def test_span_dups_witnesses_shared_passage(spark):
+    """Two docs sharing a long passage must share a fingerprint; a
+    doc with no overlap must not appear."""
+    import pyspark.sql.functions as F
+
+    from tin_terrain_spark.operators.dedup import span_dups
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words " + shared + " tail zero"),
+            (1, "other opening " + shared + " different ending"),
+            (2, "completely unrelated text with many plain tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = span_dups(docs).collect()
+    assert out, "shared passage must produce at least one shared fp"
+    docs_seen = set()
+    for r in out:
+        assert r["n_docs"] == 2
+        docs_seen |= {r["first_doc"], r["last_doc"]}
+    assert docs_seen == {0, 1}  # doc 2 never flagged

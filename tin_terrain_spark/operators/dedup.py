@@ -557,3 +557,33 @@ def sql_dup_clusters(threshold: float = 0.5, pairs_sql: str = "") -> str:
       SELECT cl.doc_id, cl.cluster_id, sz.cluster_size
       FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
     """
+
+
+def span_dups(docs: DataFrame, window: int = 4, n: int = NGRAM) -> DataFrame:
+    """Cross-document repeated SPANS (the boilerplate-passage case
+    exact doc-level dedup misses and doc-level MinHash under-weights):
+    a winnowing fingerprint shared by >= 2 documents witnesses a
+    repeated >= n-token passage (the MOSS guarantee), so grouping the
+    fingerprint table by fp and keeping multi-doc rows IS the
+    published substring-dedup recipe at span granularity. ONE
+    map-side-combinable aggregation over the per-doc fingerprint
+    stream — no pairwise work, scales with corpus size not corpus^2."""
+    fps = winnow_fingerprints(docs, window=window, n=n)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),  # fps are per-doc distinct
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def sql_span_dups(window: int = 4, n: int = NGRAM) -> str:
+    return f"""
+      SELECT fp, count(*) AS n_docs,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM ({sql_winnow_fingerprints(window=window, n=n)})
+      GROUP BY fp HAVING count(*) >= 2
+    """

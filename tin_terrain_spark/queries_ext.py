@@ -1419,6 +1419,17 @@ QUERIES_EXT["kmv_distinct"] = q_kmv_distinct
 ORACLES_EXT["kmv_distinct"] = _sql_kmv_distinct()
 
 
+def q_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans via shared winnowing
+    fingerprints (dedup.span_dups) — span-granularity substring
+    dedup, fully oracled."""
+    return D.span_dups(_docs(spark, sf_dir))
+
+
+QUERIES_EXT["span_dups"] = q_span_dups
+ORACLES_EXT["span_dups"] = D.sql_span_dups()
+
+
 QUERIES_EXT["h3_global"] = q_h3_global
 try:
     ORACLES_EXT["h3_global"] = _golden_oracle_sql(
