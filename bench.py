@@ -123,6 +123,7 @@ def bench_queries():
         "lm_score": ("text", QE.QUERIES_EXT["lm_score"]),
         "kmv_distinct": ("text", QE.QUERIES_EXT["kmv_distinct"]),
         "span_dups": ("dedup", QE.QUERIES_EXT["span_dups"]),
+        "inverted_index": ("text", QE.QUERIES_EXT["inverted_index"]),
         "quality_filter": ("text", QE.QUERIES_EXT["quality_filter"]),
         "langid": ("text", QE.QUERIES_EXT["langid"]),
         "lang_profile": ("text", QE.QUERIES_EXT["lang_profile"]),

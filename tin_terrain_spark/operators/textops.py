@@ -385,3 +385,57 @@ def sql_lm_score() -> str:
       FROM toks t JOIN counts c USING (tok)
       GROUP BY t.doc_id
     """
+
+
+def inverted_index(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Inverted index over the corpus: per token, document frequency,
+    total term frequency, and the posting list (doc ids ascending).
+    The posting list itself is emitted as an md5 witness of its
+    canonical serialization (the driver-side canonicalizer cannot hash
+    array columns) plus first/last doc — enough to value-compare the
+    full index across engines. min_df drops hapax tokens (the long
+    tail that bloats a real index).
+
+    100 TB shape: ONE shuffle on token (map-side combinable tf/df
+    partial aggs + sort_array over collect_list per token); posting
+    lists of hot tokens are bounded by the df cutoffs a real deploy
+    sets, and the witness keeps rows scalar-width no matter how long
+    the list is."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    per_doc = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("ttf"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.sort_array(F.collect_list(F.col("doc_id")))
+                )
+            ).alias("postings_md5"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def sql_inverted_index(min_df: int = 2) -> str:
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ),
+      per_doc AS (
+        SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY tok, doc_id
+      )
+      SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS postings_md5
+      FROM per_doc GROUP BY tok HAVING count(*) >= {min_df}
+    """

@@ -1430,6 +1430,17 @@ QUERIES_EXT["span_dups"] = q_span_dups
 ORACLES_EXT["span_dups"] = D.sql_span_dups()
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index (textops.inverted_index): per-token df,
+    total tf, and an md5 witness of the full ascending posting list —
+    the whole index value-compared across engines."""
+    return T.inverted_index(_docs(spark, sf_dir))
+
+
+QUERIES_EXT["inverted_index"] = q_inverted_index
+ORACLES_EXT["inverted_index"] = T.sql_inverted_index()
+
+
 QUERIES_EXT["h3_global"] = q_h3_global
 try:
     ORACLES_EXT["h3_global"] = _golden_oracle_sql(
