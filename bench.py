@@ -141,6 +141,7 @@ def bench_queries():
         "media_decode_real": ("media", QE.QUERIES_EXT["media_decode_real"]),
         "audio_decode_real": ("media", QE.QUERIES_EXT["audio_decode_real"]),
         "video_decode_real": ("media", QE.QUERIES_EXT["video_decode_real"]),
+        "html_extract": ("text", QE.QUERIES_EXT["html_extract"]),
     }
 
 

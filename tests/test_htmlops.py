@@ -1,0 +1,97 @@
+"""HTML→text extraction: kernel contract + distributed path +
+closed-form oracle parity (the charter's per-row byte-identity
+invariant over the pages(html BINARY) column)."""
+
+import duckdb
+import pytest
+
+from tin_terrain_spark.operators import htmlops as H
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tin_terrain_spark.session import get_spark
+
+    s = get_spark("htmlops", cores=4)
+    yield s
+    s.stop()
+
+
+def test_entity_decoding_named_decimal_hex():
+    assert H.html_to_text("<p>&amp; &lt;x&gt; &#97;&#x62; &quot;q&quot;</p>") == '& <x> ab "q"'
+
+
+def test_drop_subtrees_and_comments():
+    html = (
+        "<html><head><title>nope</title><script>var a=1;</script></head>"
+        "<body><!-- <p>fake</p> --><p>keep</p>"
+        "<nav>menu</nav><aside>ad</aside><footer>foot</footer>"
+        "<style>p{}</style><noscript>ns</noscript></body></html>"
+    )
+    assert H.html_to_text(html) == "keep"
+
+
+def test_script_cdata_body_with_fake_markup():
+    html = '<body><script>var s="</p><p>not real</p>"; if(1<2){}</script><p>real</p></body>'
+    assert H.html_to_text(html) == "real"
+
+
+def test_block_structure_and_whitespace_collapse():
+    assert H.html_to_text("<p>line1\n  line2</p>\n  <p>b</p>") == "line1 line2\nb"
+    assert H.html_to_text("<div>x</div><div></div><div>y</div>") == "x\ny"
+    # a dropped subtree is a block boundary, not glue
+    assert H.html_to_text("<div>x<nav>menu</nav>y</div>") == "x\ny"
+
+
+def test_table_cells_read_across_rows_break():
+    got = H.html_to_text("<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>")
+    assert got == "a b\nc"
+
+
+def test_attribute_noise_uppercase_void_and_malformed():
+    assert H.html_to_text('<div data-x="a>b">v</div>') == "v"
+    assert H.html_to_text("<P>UP</P>") == "UP"
+    assert H.html_to_text("a<br/>b<br>c") == "a\nb\nc"
+    # stray close tags / unclosed tags must not crash
+    assert H.html_to_text("</p>stray<p>open") == "stray\nopen"
+    # nested drop tags: counter, not boolean
+    assert H.html_to_text("<nav>a<nav>b</nav>c</nav>d") == "d"
+
+
+def _expected(doc_id: int, text: str) -> str:
+    return f"Doc {doc_id} & <soup>\n{text}\ntail {doc_id % 7}"
+
+
+def test_all_variants_extract_identically(spark):  # noqa: F811
+    rows = [(i, "key agg a scan e value row") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["extracted"]
+        for r in H.extract_html(H.synth_html(docs)).collect()
+    }
+    for i, text in rows:
+        assert out[i] == _expected(i, text), f"variant {i % 4}"
+
+
+def test_query_matches_duckdb_oracle(spark):  # noqa: F811
+    from tin_terrain_spark.queries_ext import QUERIES_EXT
+
+    got = (
+        QUERIES_EXT["html_extract"](spark, SF_DIR)
+        .orderBy("doc_id")
+        .limit(40)
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    exp = con.execute(
+        H.sql_html_extract() + " ORDER BY doc_id LIMIT 40"
+    ).fetchall()
+    assert len(got) == len(exp) == 40
+    for g, e in zip(got, exp):
+        assert (g["doc_id"], g["extracted"], g["n_blocks"], g["body_identical"]) == e
+    assert all(g["body_identical"] for g in got)

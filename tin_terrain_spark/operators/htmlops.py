@@ -1,0 +1,235 @@
+"""Real HTML→text extraction for the Common-Crawl-style pages table.
+
+The charter's input is pages(url, warc_ts, html BINARY, text, lang)
+with the per-row invariant that extracted text is byte-identical per
+url (BASELINE.json input_hint). `multimodal.extract_text` covers the
+trivial wrapper form; this module is the REAL extractor a web-text
+pipeline needs: a lenient HTML parser (stdlib html.parser — no
+external deps) that
+
+  - drops non-content subtrees wholesale: script, style, template,
+    head, noscript, svg, iframe — plus the boilerplate containers
+    nav, header, footer, aside (the trafilatura/jusText move);
+  - drops comments (including fake markup inside them);
+  - decodes character references (named, decimal, hex) in data;
+  - treats block-level elements as line boundaries and collapses all
+    other whitespace runs (raw newlines inside a paragraph become
+    single spaces, whitespace-only nodes vanish, blank lines
+    collapse) — the canonical form web-text dedup pipelines hash.
+
+100 TB shape: a map-only mapInPandas stage — no shuffle, no driver
+state; html bytes cross Arrow once per row and the parser is pure
+CPU, so throughput scales linearly with executors. This is one of the
+few places Python is the honest path: there is no JVM-side HTML
+parser in pyspark.sql.functions, and a regexp_replace chain cannot
+handle quoted '>' in attributes, CDATA script bodies, or entity
+decoding correctly.
+
+The synthetic corpus has no real HTML, so `synth_html` builds a
+deterministic page per doc — four structural variants rotating on
+doc_id % 4 (plain / attribute-noise + self-closing void / uppercase
+tags + comments + inter-tag whitespace / CDATA script + style + nav +
+aside + footer boilerplate) — ALL of which must extract to the same
+canonical text:
+
+    Doc {doc_id} & <soup>\\n{text}\\ntail {doc_id % 7}
+
+The body paragraph entity-encodes 'a'→'&#97;' and 'e'→'&#x65;', and
+the headline carries named refs (&amp; &lt; &gt;), so the extractor
+must genuinely decode references to reproduce `text` byte-identically
+— giving the extraction a full closed-form DuckDB oracle that never
+touches a parser.
+
+Reference analogue: the charter frames extraction parity the way
+tin-terrain pins raster→mesh parity (vendor/... golden fixtures,
+tests/: exact expected outputs per input); here the invariant is the
+text bytes per url.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+# Subtrees whose entire content is non-text or boilerplate.
+DROP_TAGS = frozenset(
+    "script style template head noscript svg iframe nav header footer aside".split()
+)
+
+# Elements that terminate a line of extracted text.
+BLOCK_TAGS = frozenset(
+    (
+        "address article blockquote body br caption dd div dl dt fieldset "
+        "figcaption figure form h1 h2 h3 h4 h5 h6 hr html li main ol p pre "
+        "section table tr ul"
+    ).split()
+)
+
+# Table cells read across: cell boundary contributes a space, not a line.
+CELL_TAGS = frozenset("td th".split())
+
+_BLOCK_MARK = "\x00"  # cannot collide: &#0; is invalid in HTML
+
+
+class _TextExtractor(HTMLParser):
+    """Lenient streaming extractor. convert_charrefs=True makes the
+    parser decode &amp;/&#97;/&#x65; inside data nodes before
+    handle_data sees them (script/style bodies stay raw — dropped
+    anyway)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop = 0
+        self._parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in DROP_TAGS:
+            if self._drop == 0:  # a dropped subtree is a block boundary
+                self._parts.append(_BLOCK_MARK)
+            self._drop += 1
+        elif self._drop == 0:
+            if tag in BLOCK_TAGS:
+                self._parts.append(_BLOCK_MARK)
+            elif tag in CELL_TAGS:
+                self._parts.append(" ")
+
+    def handle_endtag(self, tag):
+        if tag in DROP_TAGS:
+            if self._drop:
+                self._drop -= 1
+            if self._drop == 0:
+                self._parts.append(_BLOCK_MARK)
+        elif self._drop == 0:
+            if tag in BLOCK_TAGS:
+                self._parts.append(_BLOCK_MARK)
+            elif tag in CELL_TAGS:
+                self._parts.append(" ")
+
+    def handle_data(self, data):
+        if self._drop == 0 and data:
+            self._parts.append(data)
+
+    def result(self) -> str:
+        blocks = []
+        for blk in "".join(self._parts).split(_BLOCK_MARK):
+            t = " ".join(blk.split())  # collapse ALL whitespace runs
+            if t:
+                blocks.append(t)
+        return "\n".join(blocks)
+
+
+def html_to_text(html: str) -> str:
+    """Extract canonical text from one HTML document (kernel form —
+    the Spark op batches this over Arrow)."""
+    p = _TextExtractor()
+    p.feed(html)
+    p.close()
+    return p.result()
+
+
+HTML_EXTRACT_SCHEMA = "doc_id BIGINT, extracted STRING"
+
+
+def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Distributed extraction: (doc_id, html BINARY) → (doc_id,
+    extracted STRING). Map-only Arrow-batched stage; see module
+    docstring for why this is the honest Python-path exception."""
+
+    def op(batches):
+        for pdf in batches:
+            out = [
+                html_to_text(
+                    h.decode("utf-8", errors="replace") if isinstance(h, (bytes, bytearray)) else str(h)
+                )
+                for h in pdf[html_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "extracted": out})
+
+    return pages.select("doc_id", html_col).mapInPandas(op, HTML_EXTRACT_SCHEMA)
+
+
+def _enc_body(text_col):
+    """Entity-encode the body paragraph: 'a'→'&#97;' first (the decimal
+    ref contains no 'e'), then 'e'→'&#x65;' (the hex ref contains no
+    'a') — order-safe, and the extractor must decode both to win."""
+    return F.expr(f"replace(replace({text_col}, 'a', '&#97;'), 'e', '&#x65;')")
+
+
+def synth_html(docs: DataFrame) -> DataFrame:
+    """Deterministic rich-HTML page per doc (column expressions only —
+    what a WARC scan yields). Four structural variants on doc_id % 4;
+    every variant extracts to the same canonical text, so the query
+    oracle is a single closed-form string build. Returns
+    (doc_id, html BINARY)."""
+    title = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" &amp; &lt;soup&gt;")
+    )
+    body = _enc_body("text")
+    tail = F.concat(F.lit("tail "), (F.col("doc_id") % 7).cast("string"))
+
+    v0 = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>t</title></head><body><h1>"),
+        title,
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p><p>"),
+        tail,
+        F.lit("</p></body></html>"),
+    )
+    v1 = F.concat(
+        F.lit(
+            '<html><head><meta charset="utf-8"><script src="/app.js"></script>'
+            "</head><body><div id='m' data-x=\"a>b\"><h1 class=\"t\">"
+        ),
+        title,
+        F.lit("</h1><br/><p>"),
+        body,
+        F.lit("<br></p><div>"),
+        tail,
+        F.lit("</div></div></body></html>"),
+    )
+    v2 = F.concat(
+        F.lit("<HTML><BODY><!-- <p>IGNORED</p> -->\n  <H1>"),
+        title,
+        F.lit("</H1>\n  <P>"),
+        body,
+        F.lit("</P>\n  <NAV><A HREF=\"/\">Home</A> | <A HREF=\"/x\">About</A></NAV>\n  <P>"),
+        tail,
+        F.lit("</P></BODY></HTML>"),
+    )
+    v3 = F.concat(
+        F.lit("<html><head><style>p{color:#000}</style></head><body><h1>"),
+        title,
+        F.lit(
+            '</h1><script>var s="</p><p>fake</p>"; if(1<2){alert(s)}</script><p>'
+        ),
+        body,
+        F.lit("</p><aside>ad junk here</aside><p>"),
+        tail,
+        F.lit("</p><footer>&copy; 2026 junk</footer></body></html>"),
+    )
+    variant = (F.col("doc_id") % 4).cast("int")
+    page = (
+        F.when(variant == 0, v0)
+        .when(variant == 1, v1)
+        .when(variant == 2, v2)
+        .otherwise(v3)
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+def sql_html_extract() -> str:
+    """Closed-form DuckDB twin of synth_html ∘ extract_html: the
+    expected extraction is 'Doc {id} & <soup>\\n{text}\\ntail {id%7}'
+    for every variant, and the body line must equal text byte-for-byte
+    (the charter's per-row invariant)."""
+    return """
+      SELECT doc_id,
+             'Doc ' || doc_id || ' & <soup>' || chr(10) || text
+                    || chr(10) || 'tail ' || (doc_id % 7) AS extracted,
+             CAST(3 AS INT) AS n_blocks,
+             TRUE AS body_identical
+      FROM documents
+    """

@@ -1448,3 +1448,36 @@ try:
     )
 except KeyError:
     pass  # goldens.json not yet refrozen for this query
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL HTML→text extraction (operators/htmlops.py): a lenient
+    stdlib-parser extractor (entity decoding, script/style/comment and
+    nav/footer boilerplate dropping, block-level line structure) over
+    four deterministic structural page variants — all of which must
+    extract to the same closed-form canonical text, with the body line
+    byte-identical to the source text (the charter's per-row
+    invariant). Map-only Arrow stage, no shuffle."""
+    from .operators import htmlops as H
+
+    docs = _docs(spark, sf_dir)
+    pages = H.synth_html(docs)
+    ex = H.extract_html(pages)
+    return ex.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "extracted",
+        F.size(F.split(F.col("extracted"), "\n")).alias("n_blocks"),
+        (F.split(F.col("extracted"), "\n").getItem(1) == F.col("text")).alias(
+            "body_identical"
+        ),
+    )
+
+
+def _sql_html_extract() -> str:
+    from .operators import htmlops as H
+
+    return H.sql_html_extract()
+
+
+QUERIES_EXT["html_extract"] = q_html_extract
+ORACLES_EXT["html_extract"] = _sql_html_extract()
