@@ -142,6 +142,7 @@ def bench_queries():
         "audio_decode_real": ("media", QE.QUERIES_EXT["audio_decode_real"]),
         "video_decode_real": ("media", QE.QUERIES_EXT["video_decode_real"]),
         "html_extract": ("text", QE.QUERIES_EXT["html_extract"]),
+        "bm25": ("text", QE.QUERIES_EXT["bm25"]),
     }
 
 

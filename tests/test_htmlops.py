@@ -95,3 +95,48 @@ def test_query_matches_duckdb_oracle(spark):  # noqa: F811
     for g, e in zip(got, exp):
         assert (g["doc_id"], g["extracted"], g["n_blocks"], g["body_identical"]) == e
     assert all(g["body_identical"] for g in got)
+
+
+# ---------------------------------------------------------------------------
+# BM25 (textops.bm25) — hand-computed reference on a tiny corpus
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_hand_formula(spark):  # noqa: F811
+    import math
+
+    from tin_terrain_spark.operators.textops import bm25
+
+    rows = [
+        (0, "x y spark"),
+        (1, "spark spark window"),
+        (2, "a b c d"),
+        (3, "window merge merge window w"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in bm25(docs).collect()}
+
+    n, k1, b = 4.0, 1.2, 0.75
+    dls = {i: len(t.split(" ")) for i, t in rows}
+    avgdl = sum(dls.values()) / n
+    tfs = {
+        0: {"spark": 1},
+        1: {"spark": 2, "window": 1},
+        3: {"window": 2, "merge": 2},
+    }
+    dfreq = {"spark": 2.0, "window": 2.0, "merge": 1.0}
+
+    def score(i):
+        s = 0.0
+        for t, tf in tfs[i].items():
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        return round(s, 6)
+
+    assert set(got) == {0, 1, 3}  # doc 2 matches nothing
+    for i in (0, 1, 3):
+        assert got[i]["bm25"] == pytest.approx(score(i), abs=2e-6)
+        assert got[i]["n_terms_matched"] == len(tfs[i])
+        assert got[i]["total_tf"] == sum(tfs[i].values())
+    # more matched occurrences of rarer terms must rank higher
+    assert got[3]["bm25"] > got[1]["bm25"] > got[0]["bm25"]

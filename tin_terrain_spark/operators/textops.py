@@ -439,3 +439,83 @@ def sql_inverted_index(min_df: int = 2) -> str:
                AS postings_md5
       FROM per_doc GROUP BY tok HAVING count(*) >= {min_df}
     """
+
+
+def bm25(docs: DataFrame, terms: tuple[str, ...] = ("spark", "window", "merge"),
+         k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term set — the
+    retrieval scorer the inverted index exists to serve (Robertson/
+    Sparck Jones; the Lucene-default flavor with idf =
+    ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    100 TB shape: doc length in tokens is a ROW-WISE expression (no
+    shuffle); N and avgdl arrive via one single-row aggregate
+    broadcast; the token explode is filtered to the query terms BEFORE
+    its one map-side-combinable (doc_id, tok) aggregation, so the
+    shuffle carries only matching postings; df (≤ |terms| rows) and
+    the corpus stats are broadcast into the scoring join. One real
+    shuffle on doc_id total. Scores rounded to 6 dp so double
+    reduction order cannot flip the hash."""
+    lits = F.array(*[F.lit(t) for t in terms])
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("dl"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.array_contains(lits, F.col("tok")))
+    stats = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    )
+    tf = base.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        F.sum("tf").alias("total_tf"),
+        F.round(F.sum("term_score"), 6).alias("bm25"),
+    )
+
+
+def sql_bm25(terms: tuple[str, ...] = ("spark", "window", "merge"),
+             k1: float = 1.2, b: float = 0.75) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+      WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ),
+      stats AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+      ),
+      tf AS (
+        SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+        FROM toks WHERE tok IN ({tlist}) GROUP BY doc_id, tok
+      ),
+      dfreq AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok)
+      SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+             CAST(sum(tf) AS BIGINT) AS total_tf,
+             round(sum(
+               ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1))
+               * (tf * ({k1!r}e0 + 1e0))
+               / (tf + {k1!r}e0 * (1e0 - {b!r}e0 + {b!r}e0 * dl / avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (tok), stats
+      GROUP BY doc_id
+    """

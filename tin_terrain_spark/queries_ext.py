@@ -1481,3 +1481,14 @@ def _sql_html_extract() -> str:
 
 QUERIES_EXT["html_extract"] = q_html_extract
 ORACLES_EXT["html_extract"] = _sql_html_extract()
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (textops.bm25) against a fixed query-term
+    set — row-wise doc lengths, term-filtered posting aggregation,
+    broadcast df/corpus stats, one doc_id shuffle; fully oracled."""
+    return T.bm25(_docs(spark, sf_dir))
+
+
+QUERIES_EXT["bm25"] = q_bm25
+ORACLES_EXT["bm25"] = T.sql_bm25()
