@@ -143,6 +143,7 @@ def bench_queries():
         "video_decode_real": ("media", QE.QUERIES_EXT["video_decode_real"]),
         "html_extract": ("text", QE.QUERIES_EXT["html_extract"]),
         "bm25": ("text", QE.QUERIES_EXT["bm25"]),
+        "pii_scrub": ("text", QE.QUERIES_EXT["pii_scrub"]),
     }
 
 

@@ -140,3 +140,31 @@ def test_bm25_matches_hand_formula(spark):  # noqa: F811
         assert got[i]["total_tf"] == sum(tfs[i].values())
     # more matched occurrences of rarer terms must rank higher
     assert got[3]["bm25"] > got[1]["bm25"] > got[0]["bm25"]
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (textops.pii_scrub)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_all_kinds(spark):  # noqa: F811
+    from tin_terrain_spark.operators.textops import pii_scrub
+
+    rows = [
+        (0, "mail bob.smith+x@sub.example.co.uk and jo@a.io end"),
+        (1, "dial +1-212-555-0147 or +44-020-555-0100 now"),
+        (2, "from 192.168.0.1 to 10.0.255.254 hops"),
+        (3, "clean text no pii at all"),
+        (4, "mix a@b.de 1.2.3.4 +9-111-222-3333 done"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, pii_text STRING")
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+
+    assert got[0]["n_emails"] == 2 and got[0]["clean_text"] == "mail <EMAIL> and <EMAIL> end"
+    assert got[1]["n_phones"] == 2 and got[1]["clean_text"] == "dial <PHONE> or <PHONE> now"
+    assert got[2]["n_ips"] == 2 and got[2]["clean_text"] == "from <IP> to <IP> hops"
+    assert not got[3]["redacted"] and got[3]["clean_text"] == rows[3][1]
+    m = got[4]
+    assert (m["n_emails"], m["n_ips"], m["n_phones"]) == (1, 1, 1)
+    assert m["clean_text"] == "mix <EMAIL> <IP> <PHONE> done"
+    assert m["redacted"]

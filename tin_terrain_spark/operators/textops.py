@@ -519,3 +519,111 @@ def sql_bm25(terms: tuple[str, ...] = ("spark", "window", "merge"),
       FROM tf JOIN dfreq USING (tok), stats
       GROUP BY doc_id
     """
+
+
+# PII patterns written to the common subset of Java regex (Spark) and
+# RE2 (DuckDB): no lookarounds, ASCII \b word boundaries, bounded
+# repetition only.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def synth_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection (the synthetic corpus is clean):
+    emails / E.164-ish phones / IPv4s rotating on doc_id % 3, plus a
+    second email on doc_id % 5 == 0 so per-kind counts exceed 1.
+    Column expressions only — the DuckDB twin rebuilds the same
+    strings."""
+    did = F.col("doc_id")
+    tail = (
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" call +1-415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(" origin 10."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+                F.lit("."),
+                (did % 97 + 1).cast("string"),
+                F.lit(" logged"),
+            )
+        )
+    )
+    extra = F.when(did % 5 == 0, F.lit(" cc admin@test.org")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), tail, extra).alias("pii_text")
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "pii_text") -> DataFrame:
+    """Detect-and-redact PII: per-kind match counts (computed BEFORE
+    redaction) and the scrubbed text with typed placeholder tokens.
+    Email first (its local part may contain digits/dots), then IPv4,
+    then phone — the chain never creates new matches because the
+    placeholders contain no [0-9@.] runs.
+
+    100 TB shape: pure JVM regexp column expressions (codegen'd, no
+    UDF, no shuffle) — a map-only pass a real pipeline fuses into its
+    first corpus scan."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IP_RE)).cast("int").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        clean.alias("clean_text"),
+    ).withColumn(
+        "redacted", (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) > 0
+    )
+
+
+def sql_pii_scrub() -> str:
+    """DuckDB twin: same synth concat, independent RE2 engine for the
+    same patterns ('g' flag for global replace; counts via
+    len(regexp_extract_all))."""
+    return f"""
+      WITH pii AS (
+        SELECT doc_id,
+               text ||
+               CASE
+                 WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now'
+                 WHEN doc_id % 3 = 1 THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                 ELSE ' origin 10.' || (doc_id % 200) || '.' || (doc_id % 250) || '.' || (doc_id % 97 + 1) || ' logged'
+               END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' cc admin@test.org' ELSE '' END
+               AS pii_text
+        FROM documents
+      )
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(pii_text, '{PII_IP_RE}')) AS INT) AS n_ips,
+             CAST(len(regexp_extract_all(pii_text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(pii_text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_IP_RE}', '<IP>', 'g'),
+               '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+             (len(regexp_extract_all(pii_text, '{PII_EMAIL_RE}'))
+              + len(regexp_extract_all(pii_text, '{PII_IP_RE}'))
+              + len(regexp_extract_all(pii_text, '{PII_PHONE_RE}'))) > 0 AS redacted
+      FROM pii
+    """

@@ -1492,3 +1492,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_EXT["bm25"] = q_bm25
 ORACLES_EXT["bm25"] = T.sql_bm25()
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect-and-redact (textops.pii_scrub) over deterministic
+    injected emails/phones/IPv4s — pure JVM regexp column expressions,
+    map-only; the DuckDB twin scrubs with an independent regex engine
+    (RE2) over the same patterns."""
+    return T.pii_scrub(T.synth_pii(_docs(spark, sf_dir)))
+
+
+QUERIES_EXT["pii_scrub"] = q_pii_scrub
+ORACLES_EXT["pii_scrub"] = T.sql_pii_scrub()
