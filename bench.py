@@ -144,6 +144,7 @@ def bench_queries():
         "html_extract": ("text", QE.QUERIES_EXT["html_extract"]),
         "bm25": ("text", QE.QUERIES_EXT["bm25"]),
         "pii_scrub": ("text", QE.QUERIES_EXT["pii_scrub"]),
+        "warc_extract": ("text", QE.QUERIES_EXT["warc_extract"]),
     }
 
 

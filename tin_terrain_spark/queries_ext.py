@@ -1504,3 +1504,65 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_EXT["pii_scrub"] = q_pii_scrub
 ORACLES_EXT["pii_scrub"] = T.sql_pii_scrub()
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Common-Crawl on-ramp round trip (sources/warc.py): pages
+    are packed into REAL WARC/1.0 files (warcinfo + HTTP-enveloped
+    response records; odd files gzip'd one member per record, the CC
+    layout), re-parsed by the distributed WARC scan, and the recovered
+    html runs through the real HTML extractor — url, timestamp, HTTP
+    status, and byte-identical body text all validated in closed
+    form."""
+    from .operators import htmlops as H
+    from .operators.urlops import synth_urls
+    from .sources import warc as W
+
+    docs = _docs(spark, sf_dir)
+    pages = (
+        synth_urls(docs)
+        .select("doc_id", "url")
+        .join(H.synth_html(docs), "doc_id")
+        .withColumn(
+            "warc_epoch", (F.lit(1767225600) + F.col("doc_id")).cast("bigint")
+        )
+    )
+    parsed = W.warc_pages(W.synth_warc_files(pages)).withColumn(
+        "doc_id", F.regexp_extract(F.col("url"), "/doc/([0-9]+)$", 1).cast("bigint")
+    )
+    ex = H.extract_html(parsed)
+    return (
+        parsed.select("doc_id", "url", "warc_epoch", "http_status")
+        .join(ex, "doc_id")
+        .join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "url",
+            "warc_epoch",
+            "http_status",
+            "extracted",
+            (F.split(F.col("extracted"), "\n").getItem(1) == F.col("text")).alias(
+                "body_identical"
+            ),
+        )
+    )
+
+
+def _sql_warc_extract() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      SELECT doc_id,
+             'https://' || source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+               || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             1767225600 + doc_id AS warc_epoch,
+             CAST(200 AS INT) AS http_status,
+             'Doc ' || doc_id || ' & <soup>' || chr(10) || text
+               || chr(10) || 'tail ' || (doc_id % 7) AS extracted,
+             TRUE AS body_identical
+      FROM documents
+    """
+
+
+QUERIES_EXT["warc_extract"] = q_warc_extract
+ORACLES_EXT["warc_extract"] = _sql_warc_extract()

@@ -1,0 +1,260 @@
+"""WARC/1.0 container codec — the Common-Crawl ingestion on-ramp.
+
+The charter's pages(url, warc_ts, html, text, lang) table is, in a
+real deployment, materialized FROM WARC files (the ISO 28500 format
+Common Crawl publishes: a sequence of records, each a CRLF header
+block + Content-Length payload + blank line, usually gzip'd one
+member per record so readers can split files without parsing). This
+module is a from-scratch pure-stdlib codec:
+
+  parse_warc   bytes → response records (url, epoch ts, HTTP status,
+               content type, body) — plain or multi-member gzip,
+               non-response records (warcinfo/request/metadata)
+               skipped, HTTP envelope split off the payload
+  build_warc   records → bytes (warcinfo header record + one
+               response record per page, optional per-record gzip
+               members) — the synth/test side
+
+  warc_pages   DataFrame[(content BINARY)] → pages rows — the
+               distributed scan: binaryFile source → mapInPandas,
+               map-only, one Arrow crossing per file, no shuffle;
+               at 100 TB each executor parses its own files and the
+               extraction/geocode stages fuse behind it
+  synth_warc_files  pages → deterministic WARC files (applyInPandas
+               by file id; alternating files gzip'd) for tests and
+               the driver-gated round-trip query
+
+Scope (documented rejections): Transfer-Encoding: chunked bodies and
+truncated records raise loudly; revisit/continuation records are
+skipped like other non-response types.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+CRLF = b"\r\n"
+
+
+def _fmt_date(epoch: int) -> str:
+    return datetime.fromtimestamp(int(epoch), tz=timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%SZ"
+    )
+
+
+def _parse_date(s: str) -> int:
+    return int(
+        datetime.strptime(s.strip(), "%Y-%m-%dT%H:%M:%SZ")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
+
+
+def _record(warc_type: str, headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = [b"WARC/1.0"]
+    head.append(b"WARC-Type: " + warc_type.encode())
+    for k, v in headers:
+        head.append(f"{k}: {v}".encode())
+    head.append(f"Content-Length: {len(payload)}".encode())
+    return CRLF.join(head) + CRLF + CRLF + payload + CRLF + CRLF
+
+
+def build_warc(
+    pages: list[dict], gzip_records: bool = False, filename: str = "synth.warc"
+) -> bytes:
+    """pages: dicts with url (str), epoch (int), html (bytes). Emits a
+    warcinfo record then one response record per page, each wrapped in
+    an HTTP/1.1 200 envelope; gzip_records=True compresses each record
+    as its own gzip member (the Common Crawl layout)."""
+    out = []
+    info_payload = b"software: tin_terrain_spark\r\nformat: WARC File Format 1.0\r\n"
+    out.append(
+        _record(
+            "warcinfo",
+            [
+                ("WARC-Date", _fmt_date(pages[0]["epoch"] if pages else 0)),
+                ("WARC-Filename", filename),
+                ("Content-Type", "application/warc-fields"),
+            ],
+            info_payload,
+        )
+    )
+    for p in pages:
+        html = p["html"]
+        http = (
+            b"HTTP/1.1 200 OK" + CRLF
+            + b"Content-Type: text/html; charset=utf-8" + CRLF
+            + f"Content-Length: {len(html)}".encode() + CRLF + CRLF
+            + html
+        )
+        rid = int(p.get("record_id", hash(p["url"]) & 0x7FFFFFFF))
+        out.append(
+            _record(
+                "response",
+                [
+                    ("WARC-Record-ID", f"<urn:uuid:{rid:032x}>"),
+                    ("WARC-Date", _fmt_date(p["epoch"])),
+                    ("WARC-Target-URI", p["url"]),
+                    ("Content-Type", "application/http; msgtype=response"),
+                ],
+                http,
+            )
+        )
+    if gzip_records:
+        return b"".join(
+            gzip.compress(r, compresslevel=6, mtime=0) for r in out
+        )
+    return b"".join(out)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (CC's one-member-
+    per-record layout) into one plain stream."""
+    chunks = []
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        chunks.append(d.decompress(data))
+        chunks.append(d.flush())
+        data = d.unused_data
+    return b"".join(chunks)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse a WARC file (plain or gzip'd) into response-record dicts:
+    {url, epoch, status, content_type, body}. Non-response records are
+    skipped; malformed length/envelope raises loudly."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record blank lines
+        while pos < n and data[pos : pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        hdr_end = data.find(CRLF + CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(f"WARC: unterminated header block at offset {pos}")
+        head_lines = data[pos:hdr_end].split(CRLF)
+        if not head_lines[0].startswith(b"WARC/"):
+            raise ValueError(
+                f"WARC: bad record magic {head_lines[0][:20]!r} at offset {pos}"
+            )
+        headers = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode(
+                "utf-8", errors="replace"
+            )
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(f"WARC: missing/bad Content-Length at offset {pos}")
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("WARC: truncated record payload")
+        payload = data[body_start : body_start + clen]
+        pos = body_start + clen
+        if headers.get("warc-type") == "response":
+            env_end = payload.find(CRLF + CRLF)
+            if env_end < 0:
+                raise ValueError("WARC: response record without HTTP envelope")
+            env_lines = payload[:env_end].split(CRLF)
+            status = int(env_lines[0].split(b" ")[1])
+            ctype = ""
+            for line in env_lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ctype = v.strip().decode("utf-8", errors="replace")
+                elif k.strip().lower() == b"transfer-encoding" and b"chunked" in v.lower():
+                    raise ValueError("WARC: chunked bodies not supported")
+            records.append(
+                {
+                    "url": headers.get("warc-target-uri", ""),
+                    "epoch": _parse_date(headers["warc-date"]),
+                    "status": status,
+                    "content_type": ctype,
+                    "body": payload[env_end + 4 :],
+                }
+            )
+    return records
+
+
+WARC_PAGES_SCHEMA = (
+    "url STRING, warc_epoch BIGINT, http_status INT, content_type STRING, "
+    "html BINARY"
+)
+
+
+def warc_pages(files: DataFrame, content_col: str = "content") -> DataFrame:
+    """Distributed WARC scan: one input row per WARC file (e.g. from
+    spark.read.format('binaryFile')), output one row per response
+    record. Map-only mapInPandas — no shuffle; file-level parallelism
+    is the natural CC unit (files are ~1 GB each)."""
+
+    def op(batches):
+        for pdf in batches:
+            out = {
+                "url": [],
+                "warc_epoch": [],
+                "http_status": [],
+                "content_type": [],
+                "html": [],
+            }
+            for blob in pdf[content_col]:
+                for r in parse_warc(bytes(blob)):
+                    out["url"].append(r["url"])
+                    out["warc_epoch"].append(r["epoch"])
+                    out["http_status"].append(r["status"])
+                    out["content_type"].append(r["content_type"])
+                    out["html"].append(r["body"])
+            yield pd.DataFrame(out)
+
+    return files.select(content_col).mapInPandas(op, WARC_PAGES_SCHEMA)
+
+
+WARC_FILE_SCHEMA = "file_id BIGINT, n_records INT, content BINARY"
+
+
+def synth_warc_files(
+    pages: DataFrame, docs_per_file: int = 25, id_col: str = "doc_id"
+) -> DataFrame:
+    """Pack pages(doc_id, url, warc_epoch, html) into deterministic
+    WARC files: file_id = doc_id // docs_per_file, records ordered by
+    doc_id, odd files gzip'd per record (the CC layout), even files
+    plain. applyInPandas keyed on file_id — ONE shuffle sized by the
+    pages table, then pure CPU."""
+    from pyspark.sql import functions as F
+
+    def pack(key, pdf):
+        (fid,) = key
+        pdf = pdf.sort_values(id_col)
+        recs = [
+            {
+                "url": u,
+                "epoch": int(e),
+                "html": bytes(h),
+                "record_id": int(d),
+            }
+            for d, u, e, h in zip(
+                pdf[id_col], pdf["url"], pdf["warc_epoch"], pdf["html"]
+            )
+        ]
+        blob = build_warc(
+            recs, gzip_records=bool(fid % 2), filename=f"synth-{fid}.warc"
+        )
+        return pd.DataFrame(
+            {"file_id": [int(fid)], "n_records": [len(recs)], "content": [blob]}
+        )
+
+    keyed = pages.withColumn(
+        "file_id", F.floor(F.col(id_col) / docs_per_file).cast("bigint")
+    )
+    return keyed.groupBy("file_id").applyInPandas(pack, WARC_FILE_SCHEMA)
