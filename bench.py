@@ -145,6 +145,7 @@ def bench_queries():
         "bm25": ("text", QE.QUERIES_EXT["bm25"]),
         "pii_scrub": ("text", QE.QUERIES_EXT["pii_scrub"]),
         "warc_extract": ("text", QE.QUERIES_EXT["warc_extract"]),
+        "url_canon": ("text", QE.QUERIES_EXT["url_canon"]),
     }
 
 

@@ -168,3 +168,34 @@ def test_pii_scrub_redacts_all_kinds(spark):  # noqa: F811
     assert (m["n_emails"], m["n_ips"], m["n_phones"]) == (1, 1, 1)
     assert m["clean_text"] == "mix <EMAIL> <IP> <PHONE> done"
     assert m["redacted"]
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (urlops.canonicalize_url)
+# ---------------------------------------------------------------------------
+
+
+def test_url_canon_edge_cases(spark):  # noqa: F811
+    from tin_terrain_spark.operators.urlops import canonicalize_url
+
+    cases = [
+        # (noisy, expected canonical)
+        ("https://A.B.org/Path/X", "https://a.b.org/Path/X"),  # path case kept
+        ("HTTP://X.ORG:80/a", "http://x.org/a"),
+        ("https://x.org:443/a", "https://x.org/a"),
+        ("https://x.org:8443/a", "https://x.org:8443/a"),  # non-default kept
+        ("https://x.org/a#frag", "https://x.org/a"),
+        ("https://x.org/a?utm_source=1", "https://x.org/a"),
+        ("https://x.org/a?utm_a=1&utm_b=2&id=3", "https://x.org/a?id=3"),
+        ("https://x.org/a?id=3&gclid=z&q=4", "https://x.org/a?id=3&q=4"),
+        ("https://x.org/a?xref=1", "https://x.org/a?xref=1"),  # not 'ref'
+        ("https://x.org/a/", "https://x.org/a"),
+        ("https://x.org/", "https://x.org/"),  # root slash kept
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id LONG, url_noisy STRING"
+    )
+    got = {r["doc_id"]: r for r in canonicalize_url(df).collect()}
+    for i, (noisy, want) in enumerate(cases):
+        assert got[i]["url_canon"] == want, f"{noisy!r} -> {got[i]['url_canon']!r}"
+        assert got[i]["changed"] == (noisy != want)

@@ -76,3 +76,100 @@ def sql_host_profile() -> str:
              max(n_chars) AS max_chars
       FROM pages GROUP BY 1
     """
+
+
+TRACKING_PARAM_RE = "(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)"
+
+
+def synth_noisy_urls(docs: DataFrame) -> DataFrame:
+    """Six deterministic noise variants over the synth url (doc_id % 6):
+    clean / uppercased scheme+host / fragment / tracking-only query /
+    default port + trailing slash / mixed query with tracking params
+    and fragment. The DuckDB twin rebuilds the same strings."""
+    did = F.col("doc_id")
+    pre = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (did % N_HOSTS).cast("string"),
+        F.lit(".example.org"),
+    )
+    path = F.concat(F.lit("/doc/"), did.cast("string"))
+    v = (did % 6).cast("int")
+    url = (
+        F.when(v == 0, F.concat(pre, path))
+        .when(v == 1, F.concat(F.upper(pre), path))
+        .when(v == 2, F.concat(pre, path, F.lit("#section2")))
+        .when(v == 3, F.concat(pre, path, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(v == 4, F.concat(pre, F.lit(":443"), path, F.lit("/")))
+        .otherwise(
+            F.concat(
+                pre, path, F.lit("?id="), (did % 9).cast("string"),
+                F.lit("&utm_medium=a&ref=x#frag"),
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url_noisy"))
+
+
+def canonicalize_url(pages: DataFrame, url_col: str = "url_noisy") -> DataFrame:
+    """URL canonicalization — the dedup key normalization every crawl
+    pipeline applies before url-level dedup: lowercase scheme+host,
+    drop default ports (:443 https / :80 http), strip fragments,
+    remove tracking query params (utm_*, gclid, fbclid, ref) with
+    separator repair, and strip a lone trailing slash from non-root
+    paths. Path and query case/content are otherwise preserved.
+
+    100 TB shape: a codegen'd JVM regexp_replace chain — map-only,
+    no UDF, no shuffle; fuses into the scan."""
+    u = F.col(url_col)
+    staged = pages.withColumn("_nofrag", F.regexp_replace(u, "#.*$", "")).withColumn(
+        "_pre",
+        F.regexp_extract(
+            F.col("_nofrag"), "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+        ),
+    )
+    rest = F.substr(F.col("_nofrag"), F.length("_pre") + F.lit(1))
+    pre = F.lower(F.col("_pre"))
+    pre = F.regexp_replace(pre, "^(https://[^:/]+):443$", "$1")
+    pre = F.regexp_replace(pre, "^(http://[^:/]+):80$", "$1")
+    rest = F.regexp_replace(rest, f"[?&]{TRACKING_PARAM_RE}=[^&]*", "")
+    rest = F.regexp_replace(rest, "^([^?&]*)&", "$1?")  # first kept param
+    rest = F.regexp_replace(rest, "^(.+[^/])/$", "$1")  # trailing slash
+    canon = F.concat(pre, rest)
+    return staged.select(
+        "doc_id",
+        u.alias("url_noisy"),
+        canon.alias("url_canon"),
+        (canon != u).alias("changed"),
+    )
+
+
+def sql_url_canon() -> str:
+    """Closed-form twin: per variant the expected canonical url is the
+    clean synth url (plus the kept id param for variant 5) — the
+    chain's output is pinned against ground truth, not a re-
+    implementation."""
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               'https://' || source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS pre,
+               '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+               CAST(doc_id % 6 AS INT) AS v
+        FROM documents
+      )
+      SELECT doc_id,
+             CASE v
+               WHEN 0 THEN pre || path
+               WHEN 1 THEN upper(pre) || path
+               WHEN 2 THEN pre || path || '#section2'
+               WHEN 3 THEN pre || path || '?utm_source=feed&utm_campaign=x'
+               WHEN 4 THEN pre || ':443' || path || '/'
+               ELSE pre || path || '?id=' || (doc_id % 9) || '&utm_medium=a&ref=x#frag'
+             END AS url_noisy,
+             CASE WHEN v = 5 THEN pre || path || '?id=' || (doc_id % 9)
+                  ELSE pre || path END AS url_canon,
+             v <> 0 AS changed
+      FROM base
+    """

@@ -1566,3 +1566,15 @@ def _sql_warc_extract() -> str:
 
 QUERIES_EXT["warc_extract"] = q_warc_extract
 ORACLES_EXT["warc_extract"] = _sql_warc_extract()
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (urlops.canonicalize_url): lowercase
+    scheme+host, default-port/fragment/tracking-param/trailing-slash
+    stripping over six deterministic noise variants — pure JVM regexp
+    chain, pinned against the closed-form expected canonical url."""
+    return U.canonicalize_url(U.synth_noisy_urls(_docs(spark, sf_dir)))
+
+
+QUERIES_EXT["url_canon"] = q_url_canon
+ORACLES_EXT["url_canon"] = U.sql_url_canon()
