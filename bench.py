@@ -146,6 +146,7 @@ def bench_queries():
         "pii_scrub": ("text", QE.QUERIES_EXT["pii_scrub"]),
         "warc_extract": ("text", QE.QUERIES_EXT["warc_extract"]),
         "url_canon": ("text", QE.QUERIES_EXT["url_canon"]),
+        "pagerank": ("graph", QE.QUERIES_EXT["pagerank"]),
     }
 
 

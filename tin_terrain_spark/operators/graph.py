@@ -1,0 +1,172 @@
+"""Link-graph analytics over the pages table: PageRank.
+
+The web-scale sibling of the dedup module's connected components
+(dedup.connected_components): where CC answers "which pages are the
+same document", PageRank answers "which pages matter" — the classic
+quality prior used to weight training-data sampling. Same iterative-
+loop discipline learned there (NOTES.md round-5 CC investigation):
+
+  - the weighted edge list is the LOOP-INVARIANT big side —
+    hash-partition it by the join key ONCE, localCheckpoint it (the
+    checkpoint preserves partitioning), and never re-shuffle it;
+  - SHUFFLE_HASH hints on the per-iteration join (unique build keys;
+    sort-merge would pay two sorts per round for nothing);
+  - each iteration's rank table is eagerly localCheckpoint-ed so the
+    next round's plan starts from materialized data instead of
+    re-analyzing a growing subtree;
+  - a FIXED iteration count, no convergence action — deterministic,
+    reproducible, and exactly what the unrolled SQL oracle computes.
+
+Per-iteration shuffle volume is O(|V|) rank rows (the edge side never
+moves), so the loop scales like any word-count; dangling mass is
+folded in via a broadcast single-row aggregate, in-plan.
+
+The synthetic corpus has no real links, so `synth_links` derives a
+deterministic 3-out-regular multigraph from doc ids (closed-form —
+the DuckDB twin rebuilds it exactly); `extract_links`-based graphs
+from real HTML come from operators/htmlops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DAMPING = 0.85
+N_ITERS = 5
+LINK_MULTS = (7, 13, 31)  # dst_j = (src * mult_j + j + 1) % n_nodes
+
+
+def synth_links(docs: DataFrame, n_nodes: int) -> DataFrame:
+    """Deterministic out-degree-3 link multigraph over contiguous doc
+    ids: doc i links to (i*7+1) % n, (i*13+2) % n, (i*31+3) % n.
+    Self-loops and duplicate edges are possible and kept (multigraph
+    semantics — PageRank is well-defined on them)."""
+    dsts = F.array(
+        *[
+            (F.col("doc_id") * m + j + 1) % n_nodes
+            for j, m in enumerate(LINK_MULTS)
+        ]
+    )
+    return docs.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = N_ITERS,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """PageRank with fixed iteration count over edges(src, dst) and
+    nodes(node). Returns (node, rank) with sum(rank) == 1 up to float
+    drift. Dangling nodes (no out-edges) redistribute their mass
+    uniformly each iteration, per the standard formulation."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_nodes = nodes.count()
+
+    # loop-invariant: per-edge weight 1/outdeg(src), partitioned by the
+    # probe key once; the checkpoint truncates whatever lineage built
+    # the edge list (e.g. an HTML link-extraction subtree)
+    odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    wedges = (
+        edges.join(odeg.hint("SHUFFLE_HASH"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("odeg")).alias("w"))
+        .repartition(n_part, "src")
+        .localCheckpoint()
+    )
+    # static dangling-node set (nodes with no out-edges)
+    dangling = nodes.join(
+        odeg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint()
+
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            wedges.join(
+                ranks.select(F.col("node").alias("src"), "rank").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        dang = dangling.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang_mass")
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("node"), "c").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang_mass") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def sql_pagerank(iters: int = N_ITERS, damping: float = DAMPING) -> str:
+    """Unrolled DuckDB twin over the same synthesized multigraph; the
+    rank is scaled by n and rounded to 6 dp on both sides so the
+    engines' different reduction orders cannot flip the hash."""
+    m0, m1, m2 = LINK_MULTS
+    prev = "r0"
+    iter_ctes = []
+    for t in range(1, iters + 1):
+        iter_ctes.append(
+            f"""r{t} AS (
+        SELECT n.node,
+               (1e0 - {damping!r}e0) / p.n
+               + {damping!r}e0 * coalesce(s.c, 0e0) AS rank
+        FROM allnodes n CROSS JOIN params p
+        LEFT JOIN (
+          SELECT e.dst AS node, sum(r.rank * e.w) AS c
+          FROM wedges e JOIN {prev} r ON r.node = e.src
+          GROUP BY e.dst
+        ) s ON s.node = n.node
+      )"""
+        )
+        prev = f"r{t}"
+    joined = ",\n      ".join(iter_ctes)
+    return f"""
+      WITH params AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM documents
+      ),
+      edges AS (
+        SELECT doc_id AS src, dst FROM documents, params,
+        LATERAL (SELECT unnest([
+          (doc_id * {m0} + 1) % ni,
+          (doc_id * {m1} + 2) % ni,
+          (doc_id * {m2} + 3) % ni
+        ]) AS dst) l
+      ),
+      wedges AS (
+        SELECT src, dst, 1e0 / (count(*) OVER (PARTITION BY src)) AS w
+        FROM edges
+      ),
+      allnodes AS (SELECT doc_id AS node FROM documents),
+      r0 AS (SELECT node, 1e0 / p.n AS rank FROM allnodes, params p),
+      {joined}
+      SELECT node AS doc_id, round(rank * p.n, 6) AS rank_x_n
+      FROM {prev}, params p
+    """

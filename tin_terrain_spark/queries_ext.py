@@ -1578,3 +1578,31 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_EXT["url_canon"] = q_url_canon
 ORACLES_EXT["url_canon"] = U.sql_url_canon()
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the deterministic 3-out
+    link multigraph: fixed 5 iterations, partition-once weighted
+    edges, SHUFFLE_HASH per-round joins, eager per-round checkpoints
+    — value-compared against an unrolled DuckDB recomputation."""
+    from .operators import graph as G
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = G.synth_links(docs, n)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    pr = G.pagerank(edges, nodes)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * n, 6).alias("rank_x_n"),
+    )
+
+
+def _sql_pagerank() -> str:
+    from .operators.graph import sql_pagerank
+
+    return sql_pagerank()
+
+
+QUERIES_EXT["pagerank"] = q_pagerank
+ORACLES_EXT["pagerank"] = _sql_pagerank()
