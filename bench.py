@@ -147,6 +147,7 @@ def bench_queries():
         "warc_extract": ("text", QE.QUERIES_EXT["warc_extract"]),
         "url_canon": ("text", QE.QUERIES_EXT["url_canon"]),
         "pagerank": ("graph", QE.QUERIES_EXT["pagerank"]),
+        "link_graph": ("graph", QE.QUERIES_EXT["link_graph"]),
     }
 
 

@@ -199,3 +199,45 @@ def test_url_canon_edge_cases(spark):  # noqa: F811
     for i, (noisy, want) in enumerate(cases):
         assert got[i]["url_canon"] == want, f"{noisy!r} -> {got[i]['url_canon']!r}"
         assert got[i]["changed"] == (noisy != want)
+
+
+# ---------------------------------------------------------------------------
+# Link extraction (htmlops.html_links / extract_links)
+# ---------------------------------------------------------------------------
+
+
+def test_html_links_kernel():
+    from tin_terrain_spark.operators.htmlops import html_links
+
+    h = (
+        '<body><a href="https://a/x">one <b>two</b></a>'
+        '<nav><a href="/rel">r</a></nav>'
+        "<a name=no>anchor-less</a>"
+        '<a href="/u1">first<a href="/u2">implicit close</a></body>'
+    )
+    got = html_links(h, "https://base.org/dir/page")
+    assert got == [
+        ("https://a/x", "one two"),
+        ("https://base.org/rel", "r"),  # nav links ARE harvested
+        ("https://base.org/u1", "first"),
+        ("https://base.org/u2", "implicit close"),
+    ]
+
+
+def test_extract_links_distributed(spark):  # noqa: F811
+    from tin_terrain_spark.operators.htmlops import extract_links, synth_linked_html
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(12)], "doc_id LONG, source STRING"
+    )
+    links = extract_links(synth_linked_html(docs, 12), url_col="url").collect()
+    assert len(links) == 24
+    by_doc = {}
+    for r in links:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(12):
+        urls = sorted(r["link_url"] for r in by_doc[i])
+        t_abs, t_rel = (i * 7 + 1) % 12, (i * 13 + 2) % 12
+        assert any(u.endswith(f"/doc/{t_abs}") for u in urls)
+        # relative link resolves against the SOURCE page's host
+        assert f"https://s{i % 3}-{i % 997}.example.org/doc/{t_rel}" in urls

@@ -233,3 +233,112 @@ def sql_html_extract() -> str:
              TRUE AS body_identical
       FROM documents
     """
+
+
+class _LinkCollector(HTMLParser):
+    """Collect <a href> targets + anchor text from the FULL document —
+    unlike text extraction, link harvesting (crawl frontier / link
+    graph) wants links from nav/footer boilerplate too."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._anchor: list[str] = []
+
+    def _flush(self):
+        if self._href is not None:
+            self.links.append((self._href, " ".join("".join(self._anchor).split())))
+        self._href, self._anchor = None, []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self._flush()  # implicit close of an unclosed <a>
+            self._href = next((v for k, v in attrs if k == "href"), None)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):
+        if self._href is not None:
+            self._anchor.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def html_links(html: str, base_url: str | None = None) -> list[tuple[str, str]]:
+    """Kernel form: (resolved_href, anchor_text) per <a href> tag;
+    relative hrefs resolve against base_url when given."""
+    from urllib.parse import urljoin
+
+    p = _LinkCollector()
+    p.feed(html)
+    p.close()
+    if base_url:
+        return [(urljoin(base_url, h), a) for h, a in p.links]
+    return p.links
+
+
+LINKS_SCHEMA = "doc_id BIGINT, link_url STRING, anchor STRING"
+
+
+def extract_links(
+    pages: DataFrame, html_col: str = "html", url_col: str | None = None
+) -> DataFrame:
+    """Distributed link harvest: one output row per <a href>. Map-only
+    Arrow stage like extract_html; with url_col set, relative hrefs
+    are resolved against the page url (crawl-frontier form)."""
+    cols = ["doc_id", html_col] + ([url_col] if url_col else [])
+
+    def op(batches):
+        for pdf in batches:
+            ids, hrefs, anchors = [], [], []
+            bases = pdf[url_col] if url_col else [None] * len(pdf)
+            for doc_id, h, base in zip(pdf["doc_id"], pdf[html_col], bases):
+                raw = (
+                    h.decode("utf-8", errors="replace")
+                    if isinstance(h, (bytes, bytearray))
+                    else str(h)
+                )
+                for href, anchor in html_links(raw, base):
+                    ids.append(doc_id)
+                    hrefs.append(href)
+                    anchors.append(anchor)
+            yield pd.DataFrame(
+                {"doc_id": ids, "link_url": hrefs, "anchor": anchors}
+            )
+
+    return pages.select(*cols).mapInPandas(op, LINKS_SCHEMA)
+
+
+def synth_linked_html(docs: DataFrame, n_nodes: int) -> DataFrame:
+    """Pages with deterministic outbound links for the link-graph
+    query: one absolute link to doc (id*7+1) % n and one RELATIVE link
+    ('/doc/{(id*13+2) % n}', resolving against the page's own host).
+    Returns (doc_id, url, html BINARY)."""
+    from .urlops import N_HOSTS, synth_urls
+
+    did = F.col("doc_id")
+    t_abs = (did * 7 + 1) % n_nodes
+    t_rel = (did * 13 + 2) % n_nodes
+    abs_url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (t_abs % N_HOSTS).cast("string"),
+        F.lit(".example.org/doc/"),
+        t_abs.cast("string"),
+    )
+    page = F.concat(
+        F.lit('<html><body><p>stub</p><nav><a href="'),
+        abs_url,
+        F.lit('">next</a> <a href="/doc/'),
+        t_rel.cast("string"),
+        F.lit('">rel</a></nav></body></html>'),
+    )
+    return synth_urls(docs).select(
+        "doc_id", "url", F.encode(page, "UTF-8").alias("html")
+    )

@@ -1606,3 +1606,52 @@ def _sql_pagerank() -> str:
 
 QUERIES_EXT["pagerank"] = q_pagerank
 ORACLES_EXT["pagerank"] = _sql_pagerank()
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link harvest + in-degree graph (htmlops.extract_links): pages
+    with one absolute and one RELATIVE outbound link (resolved against
+    the page url) are parsed by the full-DOM link collector; per-
+    target in-degree aggregated — the crawl-frontier primitive.
+    Closed-form oracle rebuilds the resolved urls arithmetically."""
+    from .operators import htmlops as H
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pages = H.synth_linked_html(docs, n)
+    links = H.extract_links(pages, url_col="url")
+    return links.groupBy("link_url").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.min("doc_id").alias("first_src"),
+        F.max("anchor").alias("anchor_max"),
+    )
+
+
+def _sql_link_graph() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH params AS (SELECT count(*) AS n FROM documents),
+      links AS (
+        SELECT doc_id,
+               'https://' || source || '-'
+                 || CAST(((doc_id * 7 + 1) % n) % {N_HOSTS} AS VARCHAR)
+                 || '.example.org/doc/' || CAST((doc_id * 7 + 1) % n AS VARCHAR)
+                 AS link_url,
+               'next' AS anchor
+        FROM documents, params
+        UNION ALL
+        SELECT doc_id,
+               'https://' || source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org/doc/' || CAST((doc_id * 13 + 2) % n AS VARCHAR),
+               'rel'
+        FROM documents, params
+      )
+      SELECT link_url, count(*) AS n_in, min(doc_id) AS first_src,
+             max(anchor) AS anchor_max
+      FROM links GROUP BY link_url
+    """
+
+
+QUERIES_EXT["link_graph"] = q_link_graph
+ORACLES_EXT["link_graph"] = _sql_link_graph()
