@@ -148,6 +148,7 @@ def bench_queries():
         "url_canon": ("text", QE.QUERIES_EXT["url_canon"]),
         "pagerank": ("graph", QE.QUERIES_EXT["pagerank"]),
         "link_graph": ("graph", QE.QUERIES_EXT["link_graph"]),
+        "crawl_delta": ("text", QE.QUERIES_EXT["crawl_delta"]),
     }
 
 

@@ -241,3 +241,21 @@ def test_extract_links_distributed(spark):  # noqa: F811
         assert any(u.endswith(f"/doc/{t_abs}") for u in urls)
         # relative link resolves against the SOURCE page's host
         assert f"https://s{i % 3}-{i % 997}.example.org/doc/{t_rel}" in urls
+
+
+# ---------------------------------------------------------------------------
+# Snapshot delta (urlops.snapshot_delta)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_delta_classification(spark):  # noqa: F811
+    from tin_terrain_spark.operators.urlops import snapshot_delta
+
+    a = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url STRING, content_md5 STRING"
+    )
+    b = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "hX"), ("u4", "h4")], "url STRING, content_md5 STRING"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_delta(a, b).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new"}

@@ -173,3 +173,85 @@ def sql_url_canon() -> str:
              v <> 0 AS changed
       FROM base
     """
+
+
+def snapshot_delta(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """Recrawl snapshot delta — the monthly-crawl maintenance primitive
+    (sources/iceberg.py's recrawl-delta path): classify every url
+    across two snapshots of pages(url, content_md5) as
+
+      new        in B only
+      gone       in A only
+      changed    in both, content hash differs
+      unchanged  in both, identical
+
+    100 TB shape: ONE full-outer hash equi-join on url (both sides
+    partition by the join key; AQE handles the skewless url space) and
+    pure column expressions after — no UDF, no second pass. Downstream
+    incremental pipelines filter status IN ('new','changed') and touch
+    only the delta."""
+    a = snap_a.select(
+        F.col("url").alias("url_a"), F.col("content_md5").alias("md5_a")
+    )
+    b = snap_b.select(
+        F.col("url").alias("url_b"), F.col("content_md5").alias("md5_b")
+    )
+    joined = a.join(b, a["url_a"] == b["url_b"], "full_outer")
+    return joined.select(
+        F.coalesce(F.col("url_b"), F.col("url_a")).alias("url"),
+        F.when(F.col("url_a").isNull(), F.lit("new"))
+        .when(F.col("url_b").isNull(), F.lit("gone"))
+        .when(F.col("md5_a") != F.col("md5_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def synth_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic snapshots from one corpus: A = every doc as
+    crawled; B = docs with doc_id % 11 == 3 dropped (gone), text of
+    doc_id % 5 == 0 revised (changed), plus one brand-new url per
+    doc_id % 13 == 1 (new). Closed-form — the DuckDB twin rebuilds
+    both sides."""
+    pages = synth_urls(docs).select(
+        "doc_id", "url", F.md5(F.col("text")).alias("content_md5")
+    )
+    survivors = pages.filter(F.col("doc_id") % 11 != 3)
+    revised = survivors.withColumn(
+        "content_md5",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.lit("rev2:"), F.col("content_md5"))),
+        ).otherwise(F.col("content_md5")),
+    )
+    fresh = docs.filter(F.col("doc_id") % 13 == 1).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/new/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.md5(F.concat(F.lit("fresh:"), F.col("text"))).alias("content_md5"),
+    )
+    snap_b = revised.select("url", "content_md5").unionAll(fresh)
+    return pages.select("url", "content_md5"), snap_b
+
+
+def sql_snapshot_delta() -> str:
+    return f"""
+      WITH pages AS (
+        SELECT doc_id,
+               'https://' || source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+      )
+      SELECT url,
+             CASE
+               WHEN doc_id % 11 = 3 THEN 'gone'
+               WHEN doc_id % 5 = 0 THEN 'changed'
+               ELSE 'unchanged'
+             END AS status
+      FROM pages
+      UNION ALL
+      SELECT 'https://' || source || '.example.org/new/' || CAST(doc_id AS VARCHAR),
+             'new'
+      FROM documents WHERE doc_id % 13 = 1
+    """

@@ -1655,3 +1655,16 @@ def _sql_link_graph() -> str:
 
 QUERIES_EXT["link_graph"] = q_link_graph
 ORACLES_EXT["link_graph"] = _sql_link_graph()
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl snapshot delta (urlops.snapshot_delta): one full-outer
+    url join classifying new/changed/gone/unchanged between two
+    deterministic snapshots — the incremental-ingest primitive;
+    closed-form oracle."""
+    a, b = U.synth_snapshots(_docs(spark, sf_dir))
+    return U.snapshot_delta(a, b)
+
+
+QUERIES_EXT["crawl_delta"] = q_crawl_delta
+ORACLES_EXT["crawl_delta"] = U.sql_snapshot_delta()
