@@ -149,6 +149,7 @@ def bench_queries():
         "pagerank": ("graph", QE.QUERIES_EXT["pagerank"]),
         "link_graph": ("graph", QE.QUERIES_EXT["link_graph"]),
         "crawl_delta": ("text", QE.QUERIES_EXT["crawl_delta"]),
+        "host_quota": ("sampling", QE.QUERIES_EXT["host_quota"]),
     }
 
 

@@ -259,3 +259,26 @@ def test_snapshot_delta_classification(spark):  # noqa: F811
     )
     got = {r["url"]: r["status"] for r in snapshot_delta(a, b).collect()}
     assert got == {"u1": "unchanged", "u2": "changed", "u3": "gone", "u4": "new"}
+
+
+# ---------------------------------------------------------------------------
+# Host quota (sampling.host_quota)
+# ---------------------------------------------------------------------------
+
+
+def test_host_quota_caps_and_is_deterministic(spark):  # noqa: F811
+    from tin_terrain_spark.operators.sampling import host_quota
+
+    rows = [(i, f"h{i % 3}") for i in range(20)]
+    pages = spark.createDataFrame(rows, "doc_id LONG, host STRING")
+    kept = host_quota(pages, per_host=4).collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r["host"], []).append(r["doc_id"])
+    # exactly the 4 lowest doc_ids per host survive
+    assert sorted(by_host["h0"]) == [0, 3, 6, 9]
+    assert sorted(by_host["h1"]) == [1, 4, 7, 10]
+    assert sorted(by_host["h2"]) == [2, 5, 8, 11]
+    # plan audit: the window must compile to WindowGroupLimit
+    plan = host_quota(pages, per_host=4)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

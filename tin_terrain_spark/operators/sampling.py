@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # default mixing rates (percent) per language stratum
 DEFAULT_RATES = {"en": 50, "de": 30, "fr": 30}
@@ -95,3 +95,23 @@ def sql_sample_profile(rates: dict | None = None, other: int = DEFAULT_RATE_OTHE
              round(CAST(sum(CASE WHEN {h} < {sql_rate(rates, other)} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS realized_rate
       FROM documents GROUP BY lang
     """
+
+
+def host_quota(pages: DataFrame, per_host: int = 3,
+               host_col: str = "host", order_col: str = "doc_id") -> DataFrame:
+    """Per-host document cap — the anti-mega-host mixing primitive: no
+    single host may contribute more than `per_host` docs to the
+    training mix. Deterministic: keeps the `per_host` LOWEST order_col
+    values per host.
+
+    100 TB shape: a rank-filtered window over (host), which Spark
+    plans as WindowGroupLimit — the top-k rows are pre-filtered
+    map-side BEFORE the shuffle, so a 10^8-page mega-host ships only
+    k rows per input partition, not its whole tail. This is the same
+    bounded-skew pattern as the kNN top-k."""
+    w = Window.partitionBy(host_col).orderBy(F.col(order_col).asc())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_host)
+        .drop("_rn")
+    )

@@ -1668,3 +1668,44 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_EXT["crawl_delta"] = q_crawl_delta
 ORACLES_EXT["crawl_delta"] = U.sql_snapshot_delta()
+
+
+def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (sampling.host_quota): WindowGroupLimit
+    top-k per host (map-side pre-filter bounds mega-host skew); per-
+    host kept/cap profile oracled via the same rank semantics in
+    DuckDB."""
+    from .operators.sampling import host_quota
+
+    pages = U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+    kept = host_quota(pages, per_host=3)
+    return kept.groupBy("host").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _sql_host_quota() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH pages AS (
+        SELECT doc_id,
+               source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS host
+        FROM documents
+      ),
+      ranked AS (
+        SELECT doc_id, host,
+               row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+        FROM pages
+      )
+      SELECT host, CAST(count(*) AS INT) AS n_kept,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM ranked WHERE rn <= 3 GROUP BY host
+    """
+
+
+QUERIES_EXT["host_quota"] = q_host_quota
+ORACLES_EXT["host_quota"] = _sql_host_quota()
