@@ -150,6 +150,7 @@ def bench_queries():
         "link_graph": ("graph", QE.QUERIES_EXT["link_graph"]),
         "crawl_delta": ("text", QE.QUERIES_EXT["crawl_delta"]),
         "host_quota": ("sampling", QE.QUERIES_EXT["host_quota"]),
+        "robots_filter": ("text", QE.QUERIES_EXT["robots_filter"]),
     }
 
 

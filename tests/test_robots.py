@@ -1,0 +1,89 @@
+"""robots.txt REP kernel + distributed crawl-policy filter
+(operators/robots.py). The corpus-scale verdict parity is
+driver-gated (robots_filter query)."""
+
+import pytest
+
+from tin_terrain_spark.operators.robots import (
+    crawl_allowed,
+    parse_robots,
+    pattern_regex,
+    robots_filter,
+    robots_rules,
+)
+
+
+def test_group_selection_and_fallback():
+    txt = "User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"
+    # substring agent match picks the specific group
+    assert crawl_allowed(parse_robots(txt, "megabot/2"), "/x") is False
+    # non-matching agent falls back to '*'
+    r = parse_robots(txt, "crawler/1")
+    assert crawl_allowed(r, "/private/x") is False
+    assert crawl_allowed(r, "/public") is True
+
+
+def test_longest_match_allow_ties_and_empty_disallow():
+    txt = "User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n"
+    r = parse_robots(txt)
+    assert crawl_allowed(r, "/doc/15") is False
+    assert crawl_allowed(r, "/doc/23") is True  # longer Allow prefix wins
+    # Allow beats Disallow on equal precedence
+    tie = parse_robots("User-agent: *\nDisallow: /p\nAllow: /p\n")
+    assert crawl_allowed(tie, "/p/z") is True
+    # empty Disallow = no rule
+    assert crawl_allowed(parse_robots("User-agent: *\nDisallow:\n"), "/x") is True
+    assert crawl_allowed([], "/anything") is True
+
+
+def test_wildcards_anchor_comments_and_multi_agent():
+    txt = (
+        "# politeness\nUser-agent: a\nUser-agent: b\n"
+        "Disallow: /*.pdf$\nCrawl-delay: 3\nDisallow: /tmp*x\n"
+    )
+    r = parse_robots(txt, "a-crawler")
+    assert crawl_allowed(r, "/f/doc.pdf") is False
+    assert crawl_allowed(r, "/f/doc.pdfx") is True  # $ anchored
+    assert crawl_allowed(r, "/tmp123x") is False
+    assert crawl_allowed(r, "/tmp123y") is True
+    assert pattern_regex("/a*b$") == "^/a.*b$"
+    # regex metacharacters in patterns must be escaped
+    assert crawl_allowed(parse_robots("User-agent: *\nDisallow: /a+b\n"), "/ab") is True
+    assert crawl_allowed(parse_robots("User-agent: *\nDisallow: /a+b\n"), "/a+b/c") is False
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tin_terrain_spark.session import get_spark
+
+    s = get_spark("robots", cores=4)
+    yield s
+    s.stop()
+
+
+def test_distributed_filter_matches_kernel(spark):
+    policies = {
+        "h0": "User-agent: *\nDisallow: /\n",
+        "h1": "User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n",
+        "h2": "User-agent: *\nDisallow: /*7$\n",
+    }
+    pages = spark.createDataFrame(
+        [(i, f"h{i % 4}", f"/doc/{i}") for i in range(40)],
+        "doc_id LONG, host STRING, path STRING",
+    )
+    robots = spark.createDataFrame(
+        list(policies.items()), "host STRING, robots_txt STRING"
+    )
+    rules = robots_rules(robots)
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_filter(pages, rules, path_col="path").collect()
+    }
+    assert len(got) == 40
+    for i in range(40):
+        host = f"h{i % 4}"
+        if host in policies:
+            want = crawl_allowed(parse_robots(policies[host]), f"/doc/{i}")
+        else:
+            want = True  # h3: no robots.txt
+        assert got[i] == want, f"doc {i} host {host}"

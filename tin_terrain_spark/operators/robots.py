@@ -1,0 +1,158 @@
+"""robots.txt crawl-policy filtering — the politeness gate every
+crawl-derived corpus applies before a page may enter the pipeline.
+
+Kernel: a from-scratch parser of the robots.txt format (REP,
+RFC 9309): User-agent groups, Disallow/Allow rules, comments, blank
+lines; group selection prefers the longest user-agent token match
+with '*' as fallback; path rules use prefix matching with '*'
+wildcards and the '$' end anchor; evaluation picks the LONGEST
+matching pattern, Allow winning ties (the Google rule); no matching
+rule (or no robots.txt) means allowed.
+
+Spark surface: robots files are per-host and tiny, so the rule table
+(host, pattern, precedence, allow) parses in one Arrow pass and
+BROADCASTS into an equi-join with the pages table on host; the path
+match itself is a JVM-side RLIKE on the precompiled regex column (no
+Python in the per-page path), and the longest-match decision is one
+map-side-combinable max over a packed (precedence, allow) struct.
+Per-page work is O(rules on its own host) — never a cross join over
+all rules.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, int, bool]]:
+    """Parse robots.txt into [(pattern, precedence, allow)] for the
+    given agent. Group selection: rules under the most specific
+    matching User-agent line (longest token that is a substring of
+    `agent`, case-insensitive), falling back to '*'. precedence =
+    pattern length (longest wins)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    agents_open = False  # collecting consecutive User-agent lines
+
+    def flush():
+        nonlocal cur_agents, cur_rules
+        if cur_agents:
+            groups.append((cur_agents, cur_rules))
+        cur_agents, cur_rules = [], []
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not agents_open:
+                flush()
+                agents_open = True
+            cur_agents.append(value.lower())
+        elif field in ("disallow", "allow"):
+            agents_open = False
+            if value:  # empty Disallow = no rule
+                cur_rules.append((value, field == "allow"))
+        else:
+            agents_open = False  # crawl-delay, sitemap, … ignored
+    flush()
+
+    agent_l = agent.lower()
+    best: tuple[int, list[tuple[str, bool]]] | None = None
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a and a in agent_l:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rules)
+    if best is None:
+        return []
+    return [(pat, len(pat), allow) for pat, allow in best[1]]
+
+
+def pattern_regex(pattern: str) -> str:
+    """Robots path pattern → Java/RE2-safe regex: prefix match, '*'
+    wildcard, '$' end anchor (only in final position, per the REP)."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    return "^" + ".*".join(parts) + ("$" if anchored else "")
+
+
+def crawl_allowed(rules: list[tuple[str, int, bool]], path: str) -> bool:
+    """Reference evaluator (kernel form): longest match wins, allow
+    beats disallow on ties, default allow."""
+    best: tuple[int, int] | None = None
+    for pat, prec, allow in rules:
+        if re.match(pattern_regex(pat), path):
+            key = (prec, 1 if allow else 0)
+            if best is None or key > best:
+                best = key
+    return True if best is None else bool(best[1])
+
+
+RULES_SCHEMA = "host STRING, pattern_re STRING, prec INT, allow INT"
+
+
+def robots_rules(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) → one row per applicable rule, with the
+    pattern precompiled to a regex. Arrow-batched parse; the output is
+    tiny (rules ~ O(hosts)) and meant to be broadcast."""
+
+    def op(batches):
+        for pdf in batches:
+            hosts, regexes, precs, allows = [], [], [], []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                for pat, prec, allow in parse_robots(str(txt), agent):
+                    hosts.append(host)
+                    regexes.append(pattern_regex(pat))
+                    precs.append(prec)
+                    allows.append(1 if allow else 0)
+            yield pd.DataFrame(
+                {
+                    "host": hosts,
+                    "pattern_re": regexes,
+                    "prec": precs,
+                    "allow": allows,
+                }
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(op, RULES_SCHEMA)
+
+
+def robots_filter(
+    pages: DataFrame, rules: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """Annotate pages with the crawl-policy verdict: broadcast the
+    rule table, keep matching rules (JVM RLIKE), take the max of the
+    packed (prec, allow) struct per page, default allow. Adds an
+    `allowed` boolean; pages on hosts without rules stay allowed."""
+    matched = (
+        pages.join(F.broadcast(rules), "host", "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("pattern_re").isNotNull()
+                & F.expr(f"{path_col} rlike pattern_re"),
+                F.struct(F.col("prec"), F.col("allow")),
+            ),
+        )
+        .groupBy(pages.columns)
+        .agg(F.max("_hit").alias("_best"))
+    )
+    return matched.withColumn(
+        "allowed",
+        F.coalesce(F.col("_best.allow") == 1, F.lit(True)),
+    ).drop("_best")

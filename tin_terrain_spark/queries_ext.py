@@ -1709,3 +1709,57 @@ def _sql_host_quota() -> str:
 
 QUERIES_EXT["host_quota"] = q_host_quota
 ORACLES_EXT["host_quota"] = _sql_host_quota()
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-policy gate (operators/robots.py): four
+    deterministic per-host policies (no file / Disallow all /
+    Disallow-prefix with Allow override / wildcard-$ rule behind a
+    non-matching agent group), parsed by the REP kernel, broadcast-
+    joined and evaluated JVM-side; verdicts pinned against the
+    closed-form policy outcome."""
+    from .operators import robots as R
+
+    did = F.col("doc_id")
+    pages = U.with_host(U.synth_urls(_docs(spark, sf_dir))).select(
+        "doc_id",
+        "host",
+        F.concat(F.lit("/doc/"), did.cast("string")).alias("path"),
+        ((did % U.N_HOSTS) % 4).cast("int").alias("_v"),
+    )
+    v = F.col("_v")
+    robots_txt = (
+        F.when(v == 1, F.lit("User-agent: *\nDisallow: /\n"))
+        .when(v == 2, F.lit("User-agent: *\nDisallow: /doc/\nAllow: /doc/2\n"))
+        .when(
+            v == 3,
+            F.lit("User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /*7$\n"),
+        )
+    )
+    robots = (
+        pages.select("host", robots_txt.alias("robots_txt"))
+        .filter(F.col("robots_txt").isNotNull())
+        .distinct()
+    )
+    rules = R.robots_rules(robots, agent="tincrawler/1.0")
+    out = R.robots_filter(pages.drop("_v"), rules, path_col="path")
+    return out.select("doc_id", "host", "allowed")
+
+
+def _sql_robots_filter() -> str:
+    return f"""
+      SELECT doc_id,
+             source || '-' || CAST(doc_id % {997} AS VARCHAR)
+               || '.example.org' AS host,
+             CASE CAST((doc_id % 997) % 4 AS INT)
+               WHEN 0 THEN TRUE
+               WHEN 1 THEN FALSE
+               WHEN 2 THEN starts_with(CAST(doc_id AS VARCHAR), '2')
+               ELSE NOT (doc_id % 10 = 7)
+             END AS allowed
+      FROM documents
+    """
+
+
+QUERIES_EXT["robots_filter"] = q_robots_filter
+ORACLES_EXT["robots_filter"] = _sql_robots_filter()
