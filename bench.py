@@ -151,6 +151,7 @@ def bench_queries():
         "crawl_delta": ("text", QE.QUERIES_EXT["crawl_delta"]),
         "host_quota": ("sampling", QE.QUERIES_EXT["host_quota"]),
         "robots_filter": ("text", QE.QUERIES_EXT["robots_filter"]),
+        "charset_decode": ("text", QE.QUERIES_EXT["charset_decode"]),
     }
 
 

@@ -282,3 +282,40 @@ def test_host_quota_caps_and_is_deterministic(spark):  # noqa: F811
     # plan audit: the window must compile to WindowGroupLimit
     plan = host_quota(pages, per_host=4)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (htmlops.sniff_decode / decode_pages)
+# ---------------------------------------------------------------------------
+
+
+def test_sniff_decode_priority_chain():
+    from tin_terrain_spark.operators.htmlops import sniff_decode
+
+    assert sniff_decode(b"plain") == ("plain", "utf-8")
+    assert sniff_decode(b"\xef\xbb\xbf" + "äb".encode()) == ("äb", "utf-8-bom")
+    assert sniff_decode(b"\xff\xfe" + "øk".encode("utf-16-le")) == ("øk", "utf-16-le")
+    assert sniff_decode(b"\xfe\xff" + "øk".encode("utf-16-be")) == ("øk", "utf-16-be")
+    s = '<meta charset="iso-8859-1">café'.encode("latin-1")
+    assert sniff_decode(s)[1] == "iso-8859-1"
+    assert sniff_decode(b"abc\x97def") == ("abc—def", "windows-1252")
+    assert sniff_decode(b"x\x81y")[1] == "latin-1"  # 0x81 unmapped in cp1252
+    # declared-but-wrong charset falls through to sniffing
+    assert sniff_decode(b'<meta charset="bogus">hi')[1] == "utf-8"
+    # declared charset that fails to decode falls through too
+    bad = b'<meta charset="utf-16-be">' + b"\xe9"
+    assert sniff_decode(bad)[1] in ("windows-1252", "latin-1")
+
+
+def test_decode_pages_distributed(spark):  # noqa: F811
+    from tin_terrain_spark.operators.htmlops import decode_pages, synth_encoded_pages
+
+    docs = spark.createDataFrame(
+        [(i, "sample text of doc") for i in range(10)], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r for r in decode_pages(synth_encoded_pages(docs)).collect()}
+    assert got[0]["charset"] == "utf-8" and got[0]["text_out"] == "sample text of doc"
+    assert got[1]["charset"] == "utf-8-bom" and "ä" in got[1]["text_out"]
+    assert got[2]["charset"] == "utf-16-le" and "ø" in got[2]["text_out"]
+    assert got[3]["charset"] == "iso-8859-1" and "é" in got[3]["text_out"]
+    assert got[4]["charset"] == "windows-1252" and got[4]["text_out"].endswith("—")

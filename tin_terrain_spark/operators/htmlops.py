@@ -342,3 +342,114 @@ def synth_linked_html(docs: DataFrame, n_nodes: int) -> DataFrame:
     return synth_urls(docs).select(
         "doc_id", "url", F.encode(page, "UTF-8").alias("html")
     )
+
+
+# --------------------------------------------------------------------------
+# charset sniffing: WARC payloads are BYTES in whatever encoding the
+# origin server chose; the bytes→text step must sniff before decoding
+# --------------------------------------------------------------------------
+
+_META_CHARSET_RE = None  # compiled lazily (module import stays cheap)
+
+
+def sniff_decode(data: bytes) -> tuple[str, str]:
+    """Decode page bytes to text with charset detection, in priority
+    order: BOM (UTF-8 / UTF-16 LE / UTF-16 BE) → <meta charset=…> /
+    http-equiv declaration in the first 1024 bytes → strict UTF-8 →
+    windows-1252 → latin-1 (never fails). Returns (text, charset
+    label). A declared-but-wrong charset (lookup or decode failure)
+    falls through to the sniffing chain, matching lenient browser
+    behavior."""
+    import codecs
+    import re as _re
+
+    global _META_CHARSET_RE
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = _re.compile(
+            rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_.:-]+)", _re.I
+        )
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", "replace"), "utf-8-bom"
+    if data[:2] == b"\xff\xfe":
+        return data[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    m = _META_CHARSET_RE.search(data[:1024])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        try:
+            return data.decode(codecs.lookup(name).name), name
+        except (LookupError, UnicodeDecodeError):
+            pass
+    try:
+        return data.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    try:
+        return data.decode("cp1252"), "windows-1252"
+    except UnicodeDecodeError:
+        return data.decode("latin-1"), "latin-1"
+
+
+DECODE_SCHEMA = "doc_id BIGINT, text_out STRING, charset STRING"
+
+
+def decode_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Distributed bytes→text with charset sniffing (map-only Arrow
+    stage, same shape as extract_html — run this FIRST on raw WARC
+    payloads, then feed the text to the extractor)."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, texts, charsets = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[html_col]):
+                t, cs = sniff_decode(bytes(blob))
+                ids.append(doc_id)
+                texts.append(t)
+                charsets.append(cs)
+            yield pd.DataFrame(
+                {"doc_id": ids, "text_out": texts, "charset": charsets}
+            )
+
+    return pages.select("doc_id", html_col).mapInPandas(op, DECODE_SCHEMA)
+
+
+def synth_encoded_pages(docs: DataFrame) -> DataFrame:
+    """Five deterministic encoding variants (doc_id % 5): plain UTF-8 /
+    UTF-8 with BOM + 'ä' / UTF-16 LE with BOM + 'ø' / ISO-8859-1
+    declared via <meta charset> + 'é' / undeclared windows-1252 (a
+    stray 0x97 em-dash after latin-1 text — invalid UTF-8, exercising
+    the fallback). Returns (doc_id, html BINARY); expected decodes are
+    closed-form."""
+    did = F.col("doc_id")
+    v = (did % 5).cast("int")
+    t = F.col("text")
+    payload = (
+        F.when(v == 0, F.encode(t, "UTF-8"))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit(b"\xef\xbb\xbf"),
+                F.encode(F.expr("replace(text, 'a', 'ä')"), "UTF-8"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit(b"\xff\xfe"),
+                F.encode(F.expr("replace(text, 'o', 'ø')"), "UTF-16LE"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.encode(
+                F.concat(
+                    F.lit('<meta charset="iso-8859-1">'),
+                    F.expr("replace(text, 'e', 'é')"),
+                ),
+                "ISO-8859-1",
+            ),
+        )
+        .otherwise(F.concat(F.encode(t, "ISO-8859-1"), F.lit(b"\x97")))
+    )
+    return docs.select("doc_id", payload.alias("html"))

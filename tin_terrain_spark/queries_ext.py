@@ -1763,3 +1763,39 @@ def _sql_robots_filter() -> str:
 
 QUERIES_EXT["robots_filter"] = q_robots_filter
 ORACLES_EXT["robots_filter"] = _sql_robots_filter()
+
+
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing + transcoding (htmlops.decode_pages): BOM /
+    meta-declaration / UTF-8-strict / windows-1252 fallback over five
+    deterministic encoding variants, with the decoded text and the
+    detected charset pinned in closed form."""
+    from .operators import htmlops as H
+
+    docs = _docs(spark, sf_dir)
+    return H.decode_pages(H.synth_encoded_pages(docs))
+
+
+def _sql_charset_decode() -> str:
+    return """
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN text
+               WHEN 1 THEN replace(text, 'a', 'ä')
+               WHEN 2 THEN replace(text, 'o', 'ø')
+               WHEN 3 THEN '<meta charset="iso-8859-1">' || replace(text, 'e', 'é')
+               ELSE text || chr(8212)
+             END AS text_out,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'utf-8'
+               WHEN 1 THEN 'utf-8-bom'
+               WHEN 2 THEN 'utf-16-le'
+               WHEN 3 THEN 'iso-8859-1'
+               ELSE 'windows-1252'
+             END AS charset
+      FROM documents
+    """
+
+
+QUERIES_EXT["charset_decode"] = q_charset_decode
+ORACLES_EXT["charset_decode"] = _sql_charset_decode()
