@@ -152,6 +152,7 @@ def bench_queries():
         "host_quota": ("sampling", QE.QUERIES_EXT["host_quota"]),
         "robots_filter": ("text", QE.QUERIES_EXT["robots_filter"]),
         "charset_decode": ("text", QE.QUERIES_EXT["charset_decode"]),
+        "mix_plan": ("sampling", QE.QUERIES_EXT["mix_plan"]),
     }
 
 

@@ -132,10 +132,22 @@ def html_to_text(html: str) -> str:
 HTML_EXTRACT_SCHEMA = "doc_id BIGINT, extracted STRING"
 
 
-def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_html(
+    pages: DataFrame, html_col: str = "html", keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Distributed extraction: (doc_id, html BINARY) → (doc_id,
     extracted STRING). Map-only Arrow-batched stage; see module
-    docstring for why this is the honest Python-path exception."""
+    docstring for why this is the honest Python-path exception.
+
+    keep_cols are passed through unchanged — when the input is itself
+    an expensive subtree (e.g. a WARC pack+parse pipeline), carrying
+    the metadata through the extractor keeps the plan a SINGLE pass
+    instead of forcing a second execution (or a persist) for a
+    re-join."""
+    schema = HTML_EXTRACT_SCHEMA
+    if keep_cols:
+        types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+        schema += ", " + ", ".join(f"{c} {types[c]}" for c in keep_cols)
 
     def op(batches):
         for pdf in batches:
@@ -145,9 +157,12 @@ def extract_html(pages: DataFrame, html_col: str = "html") -> DataFrame:
                 )
                 for h in pdf[html_col]
             ]
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "extracted": out})
+            res = {"doc_id": pdf["doc_id"], "extracted": out}
+            for c in keep_cols:
+                res[c] = pdf[c]
+            yield pd.DataFrame(res)
 
-    return pages.select("doc_id", html_col).mapInPandas(op, HTML_EXTRACT_SCHEMA)
+    return pages.select("doc_id", html_col, *keep_cols).mapInPandas(op, schema)
 
 
 def _enc_body(text_col):

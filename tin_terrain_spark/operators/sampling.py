@@ -115,3 +115,95 @@ def host_quota(pages: DataFrame, per_host: int = 3,
         .filter(F.col("_rn") <= per_host)
         .drop("_rn")
     )
+
+
+MIX_WEIGHTS = {"en": 0.6, "de": 0.25}  # remaining mass → 'other'
+
+
+def mix_plan(docs: DataFrame, budget_tokens: int = 50_000,
+             weights: dict | None = None) -> DataFrame:
+    """Mixture planner — derives the per-language sampling rates that
+    `stratified_sample` then applies: given target mixture weights and
+    a global token budget, rate_s = min(1, budget * w_s / tokens_s),
+    with every language outside `weights` pooled into the remaining
+    'other' mass (split proportionally to availability). Reports per
+    stratum: available tokens, target share, the rate, and the
+    expected token yield — the artifact a data-mixing run records.
+
+    100 TB shape: ONE map-side-combinable aggregation over the corpus
+    (token counts are row-wise expressions), then a broadcast of the
+    tiny per-stratum table through the rate arithmetic — no second
+    scan; the planner's output is O(#languages)."""
+    weights = MIX_WEIGHTS if weights is None else weights
+    named_mass = sum(weights.values())
+    if not 0.0 <= named_mass <= 1.0:
+        raise ValueError(f"mixture weights sum to {named_mass}, must be in [0, 1]")
+    other_mass = 1.0 - named_mass
+
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("tokens_avail"),
+    )
+    named = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    # unnamed strata split the 'other' mass proportionally to their
+    # availability: w_s = other_mass * tokens_s / tokens_other_total
+    tagged = per_lang.withColumn("named_w", named[F.col("lang")])
+    other_tot = tagged.filter(F.col("named_w").isNull()).agg(
+        F.coalesce(F.sum("tokens_avail"), F.lit(0)).cast("double").alias("other_tokens")
+    )
+    planned = tagged.crossJoin(F.broadcast(other_tot)).withColumn(
+        "target_share",
+        F.coalesce(
+            F.col("named_w"),
+            F.lit(other_mass) * F.col("tokens_avail") / F.col("other_tokens"),
+        ),
+    ).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) * F.col("target_share") / F.col("tokens_avail"),
+        ),
+    )
+    return planned.select(
+        "lang",
+        "n_docs",
+        "tokens_avail",
+        F.round("target_share", 6).alias("target_share"),
+        F.round("rate", 6).alias("rate"),
+        F.round(F.col("rate") * F.col("tokens_avail"), 3).alias("expected_tokens"),
+    )
+
+
+def sql_mix_plan(budget_tokens: int = 50_000, weights: dict | None = None) -> str:
+    weights = MIX_WEIGHTS if weights is None else weights
+    other_mass = 1.0 - sum(weights.values())
+    named_case = " ".join(
+        f"WHEN '{k}' THEN {v!r}e0" for k, v in weights.items()
+    )
+    return f"""
+      WITH per_lang AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail,
+               CASE lang {named_case} END AS named_w
+        FROM documents GROUP BY lang
+      ),
+      other_tot AS (
+        SELECT coalesce(CAST(sum(tokens_avail) AS DOUBLE), 0e0) AS other_tokens
+        FROM per_lang WHERE named_w IS NULL
+      ),
+      planned AS (
+        SELECT lang, n_docs, tokens_avail,
+               coalesce(named_w,
+                        {other_mass!r}e0 * tokens_avail / other_tokens)
+                 AS target_share
+        FROM per_lang, other_tot
+      )
+      SELECT lang, n_docs, tokens_avail,
+             round(target_share, 6) AS target_share,
+             round(least(1e0, {float(budget_tokens)!r}e0 * target_share / tokens_avail), 6) AS rate,
+             round(least(1e0, {float(budget_tokens)!r}e0 * target_share / tokens_avail)
+                   * tokens_avail, 3) AS expected_tokens
+      FROM planned
+    """

@@ -1530,10 +1530,11 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = W.warc_pages(W.synth_warc_files(pages)).withColumn(
         "doc_id", F.regexp_extract(F.col("url"), "/doc/([0-9]+)$", 1).cast("bigint")
     )
-    ex = H.extract_html(parsed)
+    # keep_cols carries the WARC metadata THROUGH the extractor so the
+    # expensive pack+parse subtree executes exactly once (no re-join)
+    ex = H.extract_html(parsed, keep_cols=("url", "warc_epoch", "http_status"))
     return (
-        parsed.select("doc_id", "url", "warc_epoch", "http_status")
-        .join(ex, "doc_id")
+        ex
         .join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
@@ -1799,3 +1800,23 @@ def _sql_charset_decode() -> str:
 
 QUERIES_EXT["charset_decode"] = q_charset_decode
 ORACLES_EXT["charset_decode"] = _sql_charset_decode()
+
+
+def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planner (sampling.mix_plan): per-language sampling
+    rates for a token budget under target mixture weights, unnamed
+    languages pooling the remaining mass proportionally — one corpus
+    aggregation + broadcast rate arithmetic; fully oracled."""
+    from .operators.sampling import mix_plan
+
+    return mix_plan(_docs(spark, sf_dir))
+
+
+def _sql_mix_plan() -> str:
+    from .operators.sampling import sql_mix_plan
+
+    return sql_mix_plan()
+
+
+QUERIES_EXT["mix_plan"] = q_mix_plan
+ORACLES_EXT["mix_plan"] = _sql_mix_plan()
