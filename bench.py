@@ -153,6 +153,7 @@ def bench_queries():
         "robots_filter": ("text", QE.QUERIES_EXT["robots_filter"]),
         "charset_decode": ("text", QE.QUERIES_EXT["charset_decode"]),
         "mix_plan": ("sampling", QE.QUERIES_EXT["mix_plan"]),
+        "main_text": ("text", QE.QUERIES_EXT["main_text"]),
     }
 
 

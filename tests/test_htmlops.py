@@ -319,3 +319,45 @@ def test_decode_pages_distributed(spark):  # noqa: F811
     assert got[2]["charset"] == "utf-16-le" and "ø" in got[2]["text_out"]
     assert got[3]["charset"] == "iso-8859-1" and "é" in got[3]["text_out"]
     assert got[4]["charset"] == "windows-1252" and got[4]["text_out"].endswith("—")
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (htmlops.html_main_text)
+# ---------------------------------------------------------------------------
+
+
+def test_main_text_drops_link_farms_keeps_inline_links():
+    from tin_terrain_spark.operators.htmlops import html_main_text, html_to_text
+
+    page = (
+        '<body><div><a href="/">Home</a> | <a href="/a">About</a>'
+        ' | <a href="/c">Contact</a></div>'
+        "<p>real paragraph of content here</p>"
+        '<p>another with <a href="/x">one link</a> inside long prose</p>'
+        '<p><a href="/top">Back to top</a></p></body>'
+    )
+    mt, nd = html_main_text(page)
+    assert mt == (
+        "real paragraph of content here\n"
+        "another with one link inside long prose"
+    )
+    assert nd == 2
+    # the plain extractor keeps everything (proving the rule does the work)
+    assert "Home | About" in html_to_text(page)
+
+
+def test_main_text_flag_alignment_with_space_data_parts():
+    from tin_terrain_spark.operators.htmlops import html_main_text
+
+    # a data part that is exactly ' ' between inline tags must not
+    # desync the anchor flags of later parts
+    h = '<p><b>x</b> <a href="/y">LINKFARMLINKFARM</a></p><p>keep me</p>'
+    assert html_main_text(h) == ("keep me", 1)
+
+
+def test_main_text_threshold_boundary():
+    from tin_terrain_spark.operators.htmlops import html_main_text
+
+    # density exactly 0.5 is KEPT (rule is strict-greater)
+    assert html_main_text('<p><a href="/">abcde</a>fghij</p>') == ("abcdefghij", 0)
+    assert html_main_text('<p><a href="/">abcdef</a>ghij</p>') == ("", 1)

@@ -71,6 +71,7 @@ BLOCK_TAGS = frozenset(
 CELL_TAGS = frozenset("td th".split())
 
 _BLOCK_MARK = "\x00"  # cannot collide: &#0; is invalid in HTML
+_CELL_MARK = "\x01"  # structural cell separator (distinct from data " ")
 
 
 class _TextExtractor(HTMLParser):
@@ -93,7 +94,7 @@ class _TextExtractor(HTMLParser):
             if tag in BLOCK_TAGS:
                 self._parts.append(_BLOCK_MARK)
             elif tag in CELL_TAGS:
-                self._parts.append(" ")
+                self._parts.append(_CELL_MARK)
 
     def handle_endtag(self, tag):
         if tag in DROP_TAGS:
@@ -105,7 +106,7 @@ class _TextExtractor(HTMLParser):
             if tag in BLOCK_TAGS:
                 self._parts.append(_BLOCK_MARK)
             elif tag in CELL_TAGS:
-                self._parts.append(" ")
+                self._parts.append(_CELL_MARK)
 
     def handle_data(self, data):
         if self._drop == 0 and data:
@@ -114,7 +115,8 @@ class _TextExtractor(HTMLParser):
     def result(self) -> str:
         blocks = []
         for blk in "".join(self._parts).split(_BLOCK_MARK):
-            t = " ".join(blk.split())  # collapse ALL whitespace runs
+            # cell separators become spaces, then ALL whitespace collapses
+            t = " ".join(blk.replace(_CELL_MARK, " ").split())
             if t:
                 blocks.append(t)
         return "\n".join(blocks)
@@ -468,3 +470,133 @@ def synth_encoded_pages(docs: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.encode(t, "ISO-8859-1"), F.lit(b"\x97")))
     )
     return docs.select("doc_id", payload.alias("html"))
+
+
+# --------------------------------------------------------------------------
+# main-content extraction: link-density boilerplate scoring — nav-like
+# link farms living in the BODY (where tag-based dropping can't see
+# them) are removed by the jusText/trafilatura density rule
+# --------------------------------------------------------------------------
+
+
+class _MainTextExtractor(_TextExtractor):
+    """Like _TextExtractor, but tags every data part with whether it
+    was emitted inside an <a> element, so blocks can be scored by
+    link-char density after parsing."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._anchor = 0
+        self._flags: list[bool] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a" and self._drop == 0:
+            self._anchor += 1
+        super().handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._anchor:
+            self._anchor -= 1
+        super().handle_endtag(tag)
+
+    def handle_data(self, data):
+        before = len(self._parts)
+        super().handle_data(data)
+        self._flags.extend([self._anchor > 0] * (len(self._parts) - before))
+
+    def scored_blocks(self) -> list[tuple[str, float]]:
+        """(collapsed block text, link density) per non-empty block;
+        density is anchor chars / total chars on the RAW parts (before
+        whitespace collapse — separators count as non-link mass)."""
+        flags = iter(self._flags)
+        blocks: list[tuple[str, float]] = []
+        cur_parts: list[str] = []
+        cur_total = cur_anchor = 0
+
+        def flush():
+            nonlocal cur_parts, cur_total, cur_anchor
+            t = " ".join("".join(cur_parts).split())
+            if t:
+                blocks.append((t, cur_anchor / cur_total if cur_total else 0.0))
+            cur_parts, cur_total, cur_anchor = [], 0, 0
+
+        for part in self._parts:
+            if part == _BLOCK_MARK:
+                flush()
+            elif part == _CELL_MARK:
+                cur_parts.append(" ")  # structural, unflagged
+            else:
+                is_anchor = next(flags)
+                cur_parts.append(part)
+                n = len(part.strip())
+                cur_total += n
+                if is_anchor:
+                    cur_anchor += n
+        flush()
+        return blocks
+
+
+def html_main_text(html: str, max_link_density: float = 0.5) -> tuple[str, int]:
+    """Main-content extraction: the _TextExtractor contract PLUS
+    dropping blocks whose link-char density exceeds max_link_density.
+    Returns (main_text, n_dropped_blocks)."""
+    p = _MainTextExtractor()
+    p.feed(html)
+    p.close()
+    blocks = p.scored_blocks()
+    kept = [t for t, d in blocks if d <= max_link_density]
+    return "\n".join(kept), len(blocks) - len(kept)
+
+
+MAIN_TEXT_SCHEMA = "doc_id BIGINT, main_text STRING, n_dropped INT"
+
+
+def extract_main_text(
+    pages: DataFrame, html_col: str = "html", max_link_density: float = 0.5
+) -> DataFrame:
+    """Distributed main-content extraction (map-only Arrow stage)."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, texts, dropped = [], [], []
+            for doc_id, h in zip(pdf["doc_id"], pdf[html_col]):
+                raw = (
+                    h.decode("utf-8", errors="replace")
+                    if isinstance(h, (bytes, bytearray))
+                    else str(h)
+                )
+                t, nd = html_main_text(raw, max_link_density)
+                ids.append(doc_id)
+                texts.append(t)
+                dropped.append(nd)
+            yield pd.DataFrame(
+                {"doc_id": ids, "main_text": texts, "n_dropped": dropped}
+            )
+
+    return pages.select("doc_id", html_col).mapInPandas(op, MAIN_TEXT_SCHEMA)
+
+
+def synth_boilerplate_html(docs: DataFrame) -> DataFrame:
+    """Pages whose boilerplate lives in the BODY where tag-based
+    dropping cannot see it: a link-farm paragraph (density ~0.7) and a
+    breadcrumb div (all-anchor) around the real content. Main-content
+    extraction must yield exactly the html_extract canonical text;
+    plain extraction would keep the link farms (asserted in tests)."""
+    title = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"), F.lit(" &amp; &lt;soup&gt;")
+    )
+    body = _enc_body("text")
+    tail = F.concat(F.lit("tail "), (F.col("doc_id") % 7).cast("string"))
+    page = F.concat(
+        F.lit(
+            '<html><body><div><a href="/">Home</a> | <a href="/a">About</a>'
+            ' | <a href="/c">Contact</a> | <a href="/l">Legal</a></div><h1>'
+        ),
+        title,
+        F.lit("</h1><p>"),
+        body,
+        F.lit('</p><p><a href="/up">Back to top</a></p><p>'),
+        tail,
+        F.lit("</p></body></html>"),
+    )
+    return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))

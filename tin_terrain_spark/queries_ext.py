@@ -1820,3 +1820,38 @@ def _sql_mix_plan() -> str:
 
 QUERIES_EXT["mix_plan"] = q_mix_plan
 ORACLES_EXT["mix_plan"] = _sql_mix_plan()
+
+
+def q_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (htmlops.extract_main_text): link-char
+    density scoring drops in-body boilerplate (link farms, breadcrumb
+    rows) that tag-based dropping cannot see — the jusText/trafilatura
+    rule; the surviving text is pinned to the canonical closed form,
+    body line byte-identical to the source text."""
+    from .operators import htmlops as H
+
+    docs = _docs(spark, sf_dir)
+    mt = H.extract_main_text(H.synth_boilerplate_html(docs))
+    return mt.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        "main_text",
+        F.col("n_dropped").cast("int").alias("n_dropped"),
+        (F.split(F.col("main_text"), "\n").getItem(1) == F.col("text")).alias(
+            "body_identical"
+        ),
+    )
+
+
+def _sql_main_text() -> str:
+    return """
+      SELECT doc_id,
+             'Doc ' || doc_id || ' & <soup>' || chr(10) || text
+               || chr(10) || 'tail ' || (doc_id % 7) AS main_text,
+             CAST(2 AS INT) AS n_dropped,
+             TRUE AS body_identical
+      FROM documents
+    """
+
+
+QUERIES_EXT["main_text"] = q_main_text
+ORACLES_EXT["main_text"] = _sql_main_text()
