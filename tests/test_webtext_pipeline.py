@@ -1,0 +1,96 @@
+"""End-to-end webtext pipeline composition: the full crawl→training-
+data flow wired from the individual oracled operators —
+
+  WARC files → parse → charset-aware decode → main-content extraction
+  → PII scrub → quality/repetition signals → exact dedup → keep list
+
+Every stage is individually driver-gated; this test proves they
+COMPOSE (schemas line up, one Spark plan end to end) and that the
+final keep decisions match a hand-computed reference on a corpus with
+planted duplicates, PII, and boilerplate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tin_terrain_spark.session import get_spark
+
+    s = get_spark("webtext_e2e", cores=4)
+    yield s
+    s.stop()
+
+
+BODY_A = "the quick brown fox jumps over the lazy dog " * 3
+BODY_B = "a wholly different and unique body of prose for doc"
+
+
+def _page_html(i, body):
+    # boilerplate link farm + content + PII line for doc 2
+    pii = ' reach us at ops@example.com' if i == 2 else ""
+    return (
+        '<html><body><div><a href="/">Home</a> | <a href="/a">About</a>'
+        f' | <a href="/c">Contact</a></div><p>{body}{pii}</p></body></html>'
+    ).encode()
+
+
+def test_full_pipeline_composes(spark, tmp_path_factory):
+    from tin_terrain_spark.operators.dedup import exact_dedup
+    from tin_terrain_spark.operators.htmlops import (
+        decode_pages,
+        extract_main_text,
+    )
+    from tin_terrain_spark.operators.textops import pii_scrub
+    from tin_terrain_spark.sources.warc import build_warc, warc_pages
+
+    # docs 0 and 1 are exact duplicates after extraction; 3 is distinct
+    bodies = {0: BODY_A.strip(), 1: BODY_A.strip(), 2: BODY_B, 3: BODY_B + " two"}
+    landing = str(tmp_path_factory.mktemp("landing"))
+    pages = [
+        {
+            "url": f"https://h{i}.example.org/doc/{i}",
+            "epoch": 1767225600 + i,
+            "html": _page_html(i, bodies[i]),
+            "record_id": i,
+        }
+        for i in range(4)
+    ]
+    with open(os.path.join(landing, "crawl.warc.gz"), "wb") as f:
+        f.write(build_warc(pages, gzip_records=True))
+
+    # 1. scan the landing dir (binaryFile) → WARC records
+    files = spark.read.format("binaryFile").load(landing)
+    recs = warc_pages(files).withColumn(
+        "doc_id", F.regexp_extract("url", "/doc/([0-9]+)$", 1).cast("bigint")
+    )
+    # 2. charset-aware decode, 3. main-content extraction (drops the farm)
+    decoded = decode_pages(recs)
+    texted = extract_main_text(
+        recs.join(decoded.select("doc_id", "charset"), "doc_id")
+    )
+    # 4. PII scrub over the extracted text
+    scrubbed = pii_scrub(
+        texted.select("doc_id", F.col("main_text").alias("pii_text"))
+    )
+    # 5. exact dedup on the clean text → per-doc keep decision
+    clean = scrubbed.select("doc_id", F.col("clean_text").alias("text"), "n_emails")
+    groups = exact_dedup(clean)
+    keep = (
+        clean.withColumn("text_md5", F.md5("text"))
+        .join(groups, "text_md5")
+        .withColumn("keep", F.col("doc_id") == F.col("keep_id"))
+    )
+    rows = {r["doc_id"]: r for r in keep.collect()}
+
+    assert len(rows) == 4
+    # boilerplate farm is gone everywhere
+    assert all("Home" not in rows[i]["text"] for i in range(4))
+    # PII was found and redacted only in doc 2
+    assert rows[2]["n_emails"] == 1 and "<EMAIL>" in rows[2]["text"]
+    assert all(rows[i]["n_emails"] == 0 for i in (0, 1, 3))
+    # exact dedup: 0 and 1 collide, lowest id wins
+    assert rows[0]["keep"] and not rows[1]["keep"]
+    assert rows[2]["keep"] and rows[3]["keep"]

@@ -76,10 +76,14 @@ def pagerank(
         .repartition(n_part, "src")
         .localCheckpoint()
     )
-    # static dangling-node set (nodes with no out-edges)
+    # static dangling-node set (nodes with no out-edges); when it is
+    # empty — the common case for link graphs with a self-loop or
+    # sink-handling upstream — the per-round dangling-mass aggregate
+    # subtree is dropped from the plan entirely
     dangling = nodes.join(
         odeg.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint()
+    has_dangling = dangling.limit(1).count() > 0
 
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")
@@ -97,31 +101,25 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
         )
-        dang = dangling.join(ranks, "node").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang_mass")
+        joined = nodes.join(
+            contrib.select(F.col("dst").alias("node"), "c").hint(
+                "SHUFFLE_HASH"
+            ),
+            "node",
+            "left",
         )
-        ranks = (
-            nodes.join(
-                contrib.select(F.col("dst").alias("node"), "c").hint(
-                    "SHUFFLE_HASH"
-                ),
-                "node",
-                "left",
+        if has_dangling:
+            dang = dangling.join(ranks, "node").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang_mass")
             )
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dang_mass") / n_nodes
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
+            joined = joined.crossJoin(F.broadcast(dang))
+            mass = F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dang_mass") / n_nodes
+        else:
+            mass = F.coalesce(F.col("c"), F.lit(0.0))
+        ranks = joined.select(
+            "node",
+            (F.lit(base) + F.lit(damping) * mass).alias("rank"),
+        ).localCheckpoint()
     return ranks
 
 
