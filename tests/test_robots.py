@@ -87,3 +87,31 @@ def test_distributed_filter_matches_kernel(spark):
         else:
             want = True  # h3: no robots.txt
         assert got[i] == want, f"doc {i} host {host}"
+
+
+def test_parse_sitemap_kernel():
+    from tin_terrain_spark.operators.robots import parse_sitemap
+
+    sm = """<?xml version="1.0" encoding="UTF-8"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://x.org/a</loc><lastmod>2026-01-05</lastmod><priority>0.8</priority></url>
+      <url><loc>https://x.org/b</loc><lastmod>2026-01-05T12:30:00Z</lastmod></url>
+      <url><loc>https://x.org/c</loc></url>
+      <url><changefreq>daily</changefreq></url>
+    </urlset>"""
+    r = parse_sitemap(sm)
+    assert len(r) == 3  # loc-less entry skipped
+    assert r[0] == {
+        "loc": "https://x.org/a",
+        "lastmod_epoch": 1767571200,
+        "priority": 0.8,
+        "is_index": False,
+    }
+    assert r[1]["lastmod_epoch"] == 1767616200 and r[1]["priority"] is None
+    idx = parse_sitemap(
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>https://x.org/s1.xml</loc></sitemap></sitemapindex>"
+    )
+    assert idx[0]["is_index"] is True
+    with pytest.raises(Exception):
+        parse_sitemap("<urlset><url><loc>x</loc>")

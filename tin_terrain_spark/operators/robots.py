@@ -156,3 +156,83 @@ def robots_filter(
         "allowed",
         F.coalesce(F.col("_best.allow") == 1, F.lit(True)),
     ).drop("_best")
+
+
+# --------------------------------------------------------------------------
+# sitemap.xml — the crawl-discovery side of the politeness pair
+# --------------------------------------------------------------------------
+
+
+def parse_sitemap(data) -> list[dict]:
+    """Parse a sitemap.xml document (urlset or sitemapindex, namespace-
+    agnostic) into [{loc, lastmod_epoch, priority, is_index}]. lastmod
+    accepts W3C datetime (date-only or full ISO, 'Z' suffix ok);
+    missing fields are None. Malformed XML raises loudly."""
+    import xml.etree.ElementTree as ET
+    from datetime import datetime, timezone
+
+    if isinstance(data, (bytes, bytearray)):
+        data = bytes(data).decode("utf-8", errors="replace")
+    root = ET.fromstring(data)
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1].lower()
+
+    def parse_lastmod(s):
+        s = s.strip()
+        if s.endswith("Z"):
+            s = s[:-1] + "+00:00"
+        if len(s) == 10:  # date-only
+            dt = datetime.strptime(s, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+        else:
+            dt = datetime.fromisoformat(s)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp())
+
+    is_index = local(root.tag) == "sitemapindex"
+    out = []
+    for entry in root:
+        if local(entry.tag) not in ("url", "sitemap"):
+            continue
+        rec = {"loc": None, "lastmod_epoch": None, "priority": None,
+               "is_index": is_index}
+        for child in entry:
+            t = local(child.tag)
+            v = (child.text or "").strip()
+            if t == "loc":
+                rec["loc"] = v
+            elif t == "lastmod" and v:
+                rec["lastmod_epoch"] = parse_lastmod(v)
+            elif t == "priority" and v:
+                rec["priority"] = float(v)
+        if rec["loc"]:
+            out.append(rec)
+    return out
+
+
+SITEMAP_SCHEMA = (
+    "host STRING, loc STRING, lastmod_epoch BIGINT, priority DOUBLE, "
+    "is_index BOOLEAN"
+)
+
+
+def sitemap_urls(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame:
+    """(host, sitemap_xml) → one row per discovered url. Map-only
+    Arrow stage; sitemap files are per-host and small, discovery
+    parallelism is per-file like the WARC scan."""
+
+    def op(batches):
+        for pdf in batches:
+            out = {"host": [], "loc": [], "lastmod_epoch": [],
+                   "priority": [], "is_index": []}
+            for host, xml in zip(pdf["host"], pdf[xml_col]):
+                for rec in parse_sitemap(xml):
+                    out["host"].append(host)
+                    out["loc"].append(rec["loc"])
+                    out["lastmod_epoch"].append(rec["lastmod_epoch"])
+                    out["priority"].append(rec["priority"])
+                    out["is_index"].append(rec["is_index"])
+            yield pd.DataFrame(out)
+
+    return sitemaps.select("host", xml_col).mapInPandas(op, SITEMAP_SCHEMA)

@@ -1855,3 +1855,57 @@ def _sql_main_text() -> str:
 
 QUERIES_EXT["main_text"] = q_main_text
 ORACLES_EXT["main_text"] = _sql_main_text()
+
+
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery (robots.sitemap_urls): one urlset XML per
+    host (built by a JVM aggregation), parsed back into per-url rows
+    with W3C lastmod → epoch and priority — url, timestamp, and
+    priority all pinned in closed form."""
+    from .operators import robots as R
+
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.col("url"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    per_host = (
+        U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+        .select("host", entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return R.sitemap_urls(per_host)
+
+
+def _sql_sitemap_urls() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      SELECT source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+               || '.example.org' AS host,
+             'https://' || source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+               || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+             1767225600 + (doc_id % 28) * 86400 AS lastmod_epoch,
+             CAST(doc_id % 10 AS DOUBLE) / 10e0 AS priority,
+             FALSE AS is_index
+      FROM documents
+    """
+
+
+QUERIES_EXT["sitemap_urls"] = q_sitemap_urls
+ORACLES_EXT["sitemap_urls"] = _sql_sitemap_urls()
