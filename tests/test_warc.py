@@ -129,3 +129,37 @@ def test_distributed_pack_and_scan(spark):
         assert got[i]["warc_epoch"] == epoch
         assert got[i]["http_status"] == 200
         assert bytes(got[i]["html"]) == html
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_cdx_index_seeks(gz):
+    import hashlib
+
+    from tin_terrain_spark.sources.warc import index_warc
+
+    pages = _pages(7)
+    blob = build_warc(pages, gzip_records=gz)
+    idx = index_warc(blob)
+    assert len(idx) == 7  # warcinfo member not indexed
+    for p, r in zip(pages, idx):
+        assert r["url"] == p["url"] and r["epoch"] == p["epoch"]
+        assert r["digest"] == hashlib.md5(p["html"]).hexdigest()
+        assert r["seek_ok"] is True
+        # the span really is self-contained: parse ONLY the slice
+        sl = blob[r["offset"] : r["offset"] + r["rec_length"]]
+        (rec,) = parse_warc(bytes(sl))
+        assert rec["url"] == p["url"] and rec["body"] == p["html"]
+    # spans tile the file: offsets strictly increasing, no overlap,
+    # and (with the warcinfo span) they cover every byte
+    offs = [(r["offset"], r["rec_length"]) for r in idx]
+    assert all(a[0] + a[1] <= b[0] for a, b in zip(offs, offs[1:]))
+    covered = sum(l for _, l in offs)
+    assert offs[0][0] + covered == len(blob)  # warcinfo is the gap
+
+
+def test_cdx_rejects_whole_file_gzip():
+    from tin_terrain_spark.sources.warc import index_warc
+
+    blob = gzip.compress(build_warc(_pages(3)), mtime=0)
+    with pytest.raises(ValueError, match="not seekable"):
+        index_warc(blob)

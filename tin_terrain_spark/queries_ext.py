@@ -1909,3 +1909,70 @@ def _sql_sitemap_urls() -> str:
 
 QUERIES_EXT["sitemap_urls"] = q_sitemap_urls
 ORACLES_EXT["sitemap_urls"] = _sql_sitemap_urls()
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX random-access index (sources/warc.index_warc): pages packed
+    into PLAIN WARC files (plain because byte offsets are closed-form;
+    the gzip-member layout is covered by pytest seek tests), then
+    indexed — per record the byte span in the stored file, the body
+    md5, and a self-check that parsing ONLY data[offset:offset+len]
+    recovers the record. The oracle recomputes every offset from the
+    WARC/1.0 grammar: record size = fixed header skeleton + len(url)
+    + digits(content-length) + the HTTP envelope + body."""
+    from .sources import warc as W
+
+    docs = _docs(spark, sf_dir)
+    pages = (
+        U.synth_urls(docs)
+        .select("doc_id", "url")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "warc_epoch", (F.lit(1767225600) + F.col("doc_id")).cast("bigint")
+        )
+        .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    )
+    return W.warc_cdx(W.synth_warc_files(pages, gzip_mode="none"))
+
+
+def _sql_cdx_index() -> str:
+    from .operators.urlops import N_HOSTS
+
+    # byte arithmetic of sources/warc.py build_warc/_record:
+    #   http envelope = 78 + digits(hlen) + hlen   (status+ctype+clen lines)
+    #   response record = 217 + len(url) + digits(clen) + clen
+    #   warcinfo record = 216 + digits(file_id)
+    return f"""
+      WITH pages AS (
+        SELECT doc_id,
+               'https://' || source || '-'
+                 || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               1767225600 + doc_id AS warc_epoch,
+               CAST(FLOOR(doc_id / 25) AS BIGINT) AS file_id,
+               octet_length(encode(text)) AS hlen,
+               md5(text) AS digest
+        FROM documents
+      ), sized AS (
+        SELECT *, 78 + length(CAST(hlen AS VARCHAR)) + hlen AS clen
+        FROM pages
+      ), recs AS (
+        SELECT *,
+               217 + length(url) + length(CAST(clen AS VARCHAR)) + clen
+                 AS rec_length
+        FROM sized
+      )
+      SELECT file_id, url, CAST(warc_epoch AS BIGINT) AS warc_epoch,
+             CAST(216 + length(CAST(file_id AS VARCHAR))
+               + COALESCE(SUM(rec_length) OVER (
+                   PARTITION BY file_id ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS rec_offset,
+             CAST(rec_length AS BIGINT) AS rec_length,
+             digest, TRUE AS seek_ok
+      FROM recs
+    """
+
+
+QUERIES_EXT["cdx_index"] = q_cdx_index
+ORACLES_EXT["cdx_index"] = _sql_cdx_index()

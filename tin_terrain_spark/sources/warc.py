@@ -126,13 +126,11 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(chunks)
 
 
-def parse_warc(data: bytes) -> list[dict]:
-    """Parse a WARC file (plain or gzip'd) into response-record dicts:
-    {url, epoch, status, content_type, body}. Non-response records are
-    skipped; malformed length/envelope raises loudly."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
-    records = []
+def _walk_records(data: bytes):
+    """Yield (offset, end, headers, payload) for every record in a
+    PLAIN (non-gzip) WARC stream. offset points at the record magic,
+    end one past the record's trailing CRLF CRLF (so consecutive
+    records tile the file). Malformed input raises loudly."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -141,6 +139,7 @@ def parse_warc(data: bytes) -> list[dict]:
             pos += 2
         if pos >= n:
             break
+        start = pos
         hdr_end = data.find(CRLF + CRLF, pos)
         if hdr_end < 0:
             raise ValueError(f"WARC: unterminated header block at offset {pos}")
@@ -164,6 +163,20 @@ def parse_warc(data: bytes) -> list[dict]:
             raise ValueError("WARC: truncated record payload")
         payload = data[body_start : body_start + clen]
         pos = body_start + clen
+        end = pos
+        if data[pos : pos + 4] == CRLF + CRLF:
+            end = pos + 4  # the record's own trailing blank line
+        yield start, end, headers, payload
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse a WARC file (plain or gzip'd) into response-record dicts:
+    {url, epoch, status, content_type, body}. Non-response records are
+    skipped; malformed length/envelope raises loudly."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    records = []
+    for _start, _end, headers, payload in _walk_records(data):
         if headers.get("warc-type") == "response":
             env_end = payload.find(CRLF + CRLF)
             if env_end < 0:
@@ -222,18 +235,113 @@ def warc_pages(files: DataFrame, content_col: str = "content") -> DataFrame:
     return files.select(content_col).mapInPandas(op, WARC_PAGES_SCHEMA)
 
 
+def index_warc(data: bytes) -> list[dict]:
+    """CDX-style random-access index of one WARC file: for every
+    response record, {url, epoch, status, offset, rec_length, digest,
+    seek_ok}. offset/rec_length address the record's bytes IN THE FILE
+    AS STORED — for plain files the record itself, for per-member-gzip
+    files (the CC layout) the gzip member — so a reader can fetch
+    data[offset : offset+rec_length] and parse exactly that record
+    without touching the rest of the file (the point of CDX: random
+    access into immutable 1 GB archives). digest is the md5 hex of the
+    decoded HTTP body; seek_ok re-parses the addressed slice and
+    confirms it yields exactly this record — the index verifies
+    itself. Whole-file-gzip WARCs are not seekable; raise loudly."""
+    import hashlib
+
+    spans: list[tuple[int, int, bytes]] = []  # (offset, length, plain record)
+    if data[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            plain = d.decompress(data[pos:]) + d.flush()
+            consumed = len(data) - pos - len(d.unused_data)
+            n_inside = sum(1 for _ in _walk_records(plain))
+            if n_inside != 1:
+                raise ValueError(
+                    "WARC: whole-file gzip (member holds "
+                    f"{n_inside} records) is not seekable; CDX needs "
+                    "the member-per-record layout"
+                )
+            spans.append((pos, consumed, plain))
+            pos += consumed
+    else:
+        for start, end, _h, _p in _walk_records(data):
+            spans.append((start, end - start, data[start:end]))
+
+    out = []
+    for offset, length, plain in spans:
+        recs = parse_warc(plain)
+        if not recs:  # warcinfo / request / metadata members
+            continue
+        (r,) = recs
+        check = parse_warc(bytes(data[offset : offset + length]))
+        out.append(
+            {
+                "url": r["url"],
+                "epoch": r["epoch"],
+                "status": r["status"],
+                "offset": offset,
+                "rec_length": length,
+                "digest": hashlib.md5(r["body"]).hexdigest(),
+                "seek_ok": len(check) == 1 and check[0]["url"] == r["url"]
+                and check[0]["body"] == r["body"],
+            }
+        )
+    return out
+
+
+WARC_CDX_SCHEMA = (
+    "file_id BIGINT, url STRING, warc_epoch BIGINT, rec_offset BIGINT, "
+    "rec_length BIGINT, digest STRING, seek_ok BOOLEAN"
+)
+
+
+def warc_cdx(files: DataFrame, content_col: str = "content",
+             id_col: str = "file_id") -> DataFrame:
+    """Distributed CDX build: one row per response record with its
+    byte span in the stored file. Map-only mapInPandas like the scan —
+    at 100 TB the index job is one pass over the archive, and the
+    output (a few hundred bytes/record) is what interactive lookups
+    hit instead of the archive itself."""
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "file_id", "url", "warc_epoch", "rec_offset",
+                "rec_length", "digest", "seek_ok")}
+            for fid, blob in zip(pdf[id_col], pdf[content_col]):
+                for r in index_warc(bytes(blob)):
+                    out["file_id"].append(int(fid))
+                    out["url"].append(r["url"])
+                    out["warc_epoch"].append(r["epoch"])
+                    out["rec_offset"].append(r["offset"])
+                    out["rec_length"].append(r["rec_length"])
+                    out["digest"].append(r["digest"])
+                    out["seek_ok"].append(r["seek_ok"])
+            yield pd.DataFrame(out)
+
+    return files.select(id_col, content_col).mapInPandas(op, WARC_CDX_SCHEMA)
+
+
 WARC_FILE_SCHEMA = "file_id BIGINT, n_records INT, content BINARY"
 
 
 def synth_warc_files(
-    pages: DataFrame, docs_per_file: int = 25, id_col: str = "doc_id"
+    pages: DataFrame, docs_per_file: int = 25, id_col: str = "doc_id",
+    gzip_mode: str = "alternate",
 ) -> DataFrame:
     """Pack pages(doc_id, url, warc_epoch, html) into deterministic
     WARC files: file_id = doc_id // docs_per_file, records ordered by
-    doc_id, odd files gzip'd per record (the CC layout), even files
-    plain. applyInPandas keyed on file_id — ONE shuffle sized by the
-    pages table, then pure CPU."""
+    doc_id; gzip_mode 'alternate' gzips odd files per record (the CC
+    layout) and leaves even files plain, 'none'/'all' force one
+    layout (the CDX oracle needs 'none' — plain offsets are
+    closed-form, gzip member sizes are not). applyInPandas keyed on
+    file_id — ONE shuffle sized by the pages table, then pure CPU."""
     from pyspark.sql import functions as F
+
+    if gzip_mode not in ("alternate", "none", "all"):
+        raise ValueError(f"gzip_mode must be alternate|none|all, not {gzip_mode!r}")
 
     def pack(key, pdf):
         (fid,) = key
@@ -249,9 +357,8 @@ def synth_warc_files(
                 pdf[id_col], pdf["url"], pdf["warc_epoch"], pdf["html"]
             )
         ]
-        blob = build_warc(
-            recs, gzip_records=bool(fid % 2), filename=f"synth-{fid}.warc"
-        )
+        gz = {"alternate": bool(fid % 2), "none": False, "all": True}[gzip_mode]
+        blob = build_warc(recs, gzip_records=gz, filename=f"synth-{fid}.warc")
         return pd.DataFrame(
             {"file_id": [int(fid)], "n_records": [len(recs)], "content": [blob]}
         )
