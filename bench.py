@@ -154,6 +154,10 @@ def bench_queries():
         "charset_decode": ("text", QE.QUERIES_EXT["charset_decode"]),
         "mix_plan": ("sampling", QE.QUERIES_EXT["mix_plan"]),
         "main_text": ("text", QE.QUERIES_EXT["main_text"]),
+        "sitemap_urls": ("text", QE.QUERIES_EXT["sitemap_urls"]),
+        "cdx_index": ("text", QE.QUERIES_EXT["cdx_index"]),
+        "etld1": ("text", QE.QUERIES_EXT["etld1"]),
+        "frontier": ("text", QE.QUERIES_EXT["frontier"]),
     }
 
 

@@ -89,7 +89,10 @@ def run_leg(cores: int, zip_path: str, sf_dir: str) -> dict:
     cmd = [
         spark_submit,
         "--driver-memory",
-        os.environ.get("SPARK_DRIVER_MEM", "48g"),
+        # 12g matches session.py: measured 2x faster on this sandbox
+        # than 48g (large-heap full-GC stalls); the scaling job's
+        # shuffles spill to disk if they ever need more
+        os.environ.get("SPARK_DRIVER_MEM", "12g"),
         "--py-files",
         zip_path,
         driver_py,

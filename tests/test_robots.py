@@ -115,3 +115,32 @@ def test_parse_sitemap_kernel():
     assert idx[0]["is_index"] is True
     with pytest.raises(Exception):
         parse_sitemap("<urlset><url><loc>x</loc>")
+
+
+def test_frontier_schedule(spark):
+    from tin_terrain_spark.operators.robots import frontier_schedule
+
+    fr = spark.createDataFrame(
+        [
+            ("https://a.org/1", "a.org", 3, 5),
+            ("https://a.org/2", "a.org", 3, 9),
+            ("https://a.org/3", "a.org", 3, 9),
+            ("https://b.org/1", "b.org", 7, 1),
+        ],
+        "url STRING, host STRING, crawl_delay INT, priority INT",
+    )
+    got = {
+        r["url"]: r
+        for r in frontier_schedule(fr, n_fetchers=4, base_epoch=100).collect()
+    }
+    # priority desc, then url asc within host; spacing = crawl_delay
+    assert got["https://a.org/2"]["host_seq"] == 1
+    assert got["https://a.org/3"]["host_seq"] == 2
+    assert got["https://a.org/1"]["host_seq"] == 3
+    assert [got[f"https://a.org/{i}"]["fetch_epoch"] for i in (2, 3, 1)] == [
+        100, 103, 106,
+    ]
+    assert got["https://b.org/1"]["fetch_epoch"] == 100
+    # one fetcher per host, stable across rows
+    a_f = {got[u]["fetcher"] for u in got if u.startswith("https://a")}
+    assert len(a_f) == 1 and all(0 <= f < 4 for f in a_f)

@@ -94,3 +94,41 @@ def test_full_pipeline_composes(spark, tmp_path_factory):
     # exact dedup: 0 and 1 collide, lowest id wins
     assert rows[0]["keep"] and not rows[1]["keep"]
     assert rows[2]["keep"] and rows[3]["keep"]
+
+
+class TestRegisteredDomain:
+    """eTLD+1 via the public-suffix ALGORITHM (wildcard + exception
+    rules — the cases the naive last-2-labels split gets wrong)."""
+
+    CASES = [
+        # (host, public_suffix, registered_domain)
+        ("www.site7.co.uk", "co.uk", "site7.co.uk"),
+        ("deep.a.b.site.org.uk", "org.uk", "site.org.uk"),
+        ("blog.user3.github.io", "github.io", "user3.github.io"),
+        ("s5.example.org", "org", "example.org"),
+        ("foo.bar2.ck", "bar2.ck", "foo.bar2.ck"),  # *.ck wildcard
+        ("a.www.ck", "ck", "www.ck"),  # !www.ck exception
+        ("x.unknowntld", "unknowntld", "x.unknowntld"),  # implicit *
+        ("co.uk", None, None),  # host IS a public suffix
+        ("bar9.ck", None, None),  # host matches the wildcard itself
+    ]
+
+    def test_psl_semantics(self, spark):
+        from tin_terrain_spark.operators.urlops import registered_domain
+
+        df = spark.createDataFrame(
+            [(h,) for h, _, _ in self.CASES], "host STRING"
+        )
+        got = {
+            r["host"]: (r["public_suffix"], r["registered_domain"])
+            for r in registered_domain(df).collect()
+        }
+        for host, suf, reg in self.CASES:
+            assert got[host] == (suf, reg), host
+
+    def test_no_python_udf_in_plan(self, spark):
+        from tin_terrain_spark.operators.urlops import registered_domain
+
+        df = spark.createDataFrame([("a.co.uk",)], "host STRING")
+        plan = registered_domain(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[str, int, bool]]:
@@ -236,3 +236,43 @@ def sitemap_urls(sitemaps: DataFrame, xml_col: str = "sitemap_xml") -> DataFrame
             yield pd.DataFrame(out)
 
     return sitemaps.select("host", xml_col).mapInPandas(op, SITEMAP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# crawl-frontier politeness scheduler
+# --------------------------------------------------------------------------
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    n_fetchers: int = 64,
+    base_epoch: int = 0,
+    delay_col: str = "crawl_delay",
+    priority_col: str | None = "priority",
+    order_col: str = "url",
+) -> DataFrame:
+    """Turn a crawl frontier (url, host, crawl_delay[, priority]) into
+    a politeness-respecting fetch plan: every url gets a fetcher slot
+    (stable hash of its host — all requests to one host go through ONE
+    fetcher, so the spacing guarantee survives distribution) and a
+    fetch_epoch spaced crawl_delay seconds apart within the host,
+    highest priority first. Pure JVM plan: one hash, one per-host
+    window (rank is per-host sequence — skew-bounded because a
+    mega-host's rows land on one partition of the window shuffle but
+    politeness serializes that host anyway; the work bound is the
+    frontier's largest single host, which is inherent to the
+    semantics, not the plan)."""
+    order = [F.col(priority_col).desc()] if priority_col else []
+    w = Window.partitionBy("host").orderBy(*order, F.col(order_col))
+    seq = F.row_number().over(w)
+    return (
+        frontier.withColumn("fetcher", F.pmod(F.xxhash64(F.col("host")), F.lit(n_fetchers)).cast("int"))
+        .withColumn("host_seq", seq)
+        .withColumn(
+            "fetch_epoch",
+            (
+                F.lit(base_epoch)
+                + (F.col("host_seq") - 1).cast("bigint") * F.col(delay_col).cast("bigint")
+            ).cast("bigint"),
+        )
+    )

@@ -1976,3 +1976,134 @@ def _sql_cdx_index() -> str:
 
 QUERIES_EXT["cdx_index"] = q_cdx_index
 ORACLES_EXT["cdx_index"] = _sql_cdx_index()
+
+
+def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (urlops.registered_domain): six host
+    templates exercising plain multi-label suffixes (co.uk,
+    github.io), the wildcard rule (*.ck), the exception rule
+    (!www.ck), and the implicit '*' fallback. The oracle pins
+    ground-truth public_suffix/registered_domain per template (like
+    url_canon: the expected answers come from the published PSL
+    algorithm by hand, not a SQL re-implementation)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    k = (F.col("doc_id") % 50).cast("string")
+    t = F.col("doc_id") % 6
+    host = (
+        F.when(t == 0, F.concat(F.lit("www.site"), k, F.lit(".co.uk")))
+        .when(t == 1, F.concat(F.lit("blog.user"), k, F.lit(".github.io")))
+        .when(t == 2, F.concat(F.lit("s"), k, F.lit(".example.org")))
+        .when(t == 3, F.concat(F.lit("foo.bar"), k, F.lit(".ck")))
+        .when(t == 4, F.lit("a.www.ck"))
+        .otherwise(F.concat(F.lit("x"), k, F.lit(".unknowntld")))
+    )
+    return U.registered_domain(docs.withColumn("host", host)).select(
+        "doc_id", "host", "public_suffix", "registered_domain"
+    )
+
+
+def _sql_etld1() -> str:
+    return """
+      WITH h AS (
+        SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS k,
+               doc_id % 6 AS t
+        FROM documents
+      )
+      SELECT doc_id,
+             CASE t WHEN 0 THEN 'www.site' || k || '.co.uk'
+                    WHEN 1 THEN 'blog.user' || k || '.github.io'
+                    WHEN 2 THEN 's' || k || '.example.org'
+                    WHEN 3 THEN 'foo.bar' || k || '.ck'
+                    WHEN 4 THEN 'a.www.ck'
+                    ELSE 'x' || k || '.unknowntld' END AS host,
+             CASE t WHEN 0 THEN 'co.uk'
+                    WHEN 1 THEN 'github.io'
+                    WHEN 2 THEN 'org'
+                    WHEN 3 THEN 'bar' || k || '.ck'
+                    WHEN 4 THEN 'ck'
+                    ELSE 'unknowntld' END AS public_suffix,
+             CASE t WHEN 0 THEN 'site' || k || '.co.uk'
+                    WHEN 1 THEN 'user' || k || '.github.io'
+                    WHEN 2 THEN 'example.org'
+                    WHEN 3 THEN 'foo.bar' || k || '.ck'
+                    WHEN 4 THEN 'www.ck'
+                    ELSE 'x' || k || '.unknowntld' END AS registered_domain
+      FROM h
+    """
+
+
+QUERIES_EXT["etld1"] = q_etld1
+ORACLES_EXT["etld1"] = _sql_etld1()
+
+
+def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier politeness scheduler (robots.frontier_schedule):
+    per-host fetch plan — one fetcher per host (distribution-safe
+    politeness), crawl_delay spacing, priority-first ordering. The
+    per-host aggregate WITNESSES the invariants: one_fetcher (all
+    rows of a host hashed to one fetcher), first/last fetch_epoch
+    (spacing law: last = base + (n-1)*delay), top_url (the
+    highest-priority url is scheduled first)."""
+    from .operators import robots as R
+    from .operators.urlops import N_HOSTS
+
+    fr = (
+        U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+        .select("doc_id", "url", "host")
+        .withColumn(
+            "crawl_delay", (F.col("doc_id") % N_HOSTS) % 5 + 1
+        )  # host-constant by construction (host is keyed on doc_id % N_HOSTS)
+        .withColumn("priority", F.col("doc_id") % 10)
+    )
+    plan = R.frontier_schedule(fr, n_fetchers=64, base_epoch=1767225600)
+    return (
+        plan.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("fetch_epoch").alias("first_epoch"),
+            F.max("fetch_epoch").alias("last_epoch"),
+            (F.count_distinct(F.col("fetcher")) == 1).alias("one_fetcher"),
+            F.min(
+                F.struct(
+                    (-F.col("priority")).alias("np"), F.col("url").alias("u")
+                )
+            ).alias("_top"),
+        )
+        .select(
+            "host", "n_urls", "first_epoch", "last_epoch", "one_fetcher",
+            F.col("_top.u").alias("top_url"),
+        )
+    )
+
+
+def _sql_frontier() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH fr AS (
+        SELECT doc_id,
+               'https://' || source || '-'
+                 || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS host,
+               (doc_id % {N_HOSTS}) % 5 + 1 AS delay,
+               doc_id % 10 AS priority
+        FROM documents
+      ), ranked AS (
+        SELECT *, row_number() OVER (
+                 PARTITION BY host ORDER BY priority DESC, url) AS rn
+        FROM fr
+      )
+      SELECT host, count(*) AS n_urls,
+             CAST(1767225600 AS BIGINT) AS first_epoch,
+             CAST(1767225600 + (count(*) - 1) * min(delay) AS BIGINT)
+               AS last_epoch,
+             TRUE AS one_fetcher,
+             min(CASE WHEN rn = 1 THEN url END) AS top_url
+      FROM ranked GROUP BY host
+    """
+
+
+QUERIES_EXT["frontier"] = q_frontier
+ORACLES_EXT["frontier"] = _sql_frontier()
