@@ -158,6 +158,7 @@ def bench_queries():
         "cdx_index": ("text", QE.QUERIES_EXT["cdx_index"]),
         "etld1": ("text", QE.QUERIES_EXT["etld1"]),
         "frontier": ("text", QE.QUERIES_EXT["frontier"]),
+        "cdx_fetch": ("text", QE.QUERIES_EXT["cdx_fetch"]),
     }
 
 

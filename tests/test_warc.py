@@ -163,3 +163,25 @@ def test_cdx_rejects_whole_file_gzip():
     blob = gzip.compress(build_warc(_pages(3)), mtime=0)
     with pytest.raises(ValueError, match="not seekable"):
         index_warc(blob)
+
+
+def test_cdx_fetch_slices_only_wanted(spark):
+    from tin_terrain_spark.sources.warc import (
+        index_warc,
+        cdx_fetch,
+        warc_cdx,
+    )
+
+    pages = _pages(6)
+    blobs = [
+        (0, build_warc(pages[:3], gzip_records=False)),
+        (1, build_warc(pages[3:], gzip_records=True)),
+    ]
+    files = spark.createDataFrame(blobs, "file_id BIGINT, content BINARY")
+    idx = warc_cdx(files)
+    wanted = idx.filter(idx.url.endswith("/doc/1") | idx.url.endswith("/doc/4"))
+    got = {r["url"]: r for r in cdx_fetch(wanted, files).collect()}
+    assert set(got) == {pages[1]["url"], pages[4]["url"]}
+    for i in (1, 4):
+        assert bytes(got[pages[i]["url"]]["html"]) == pages[i]["html"]
+        assert got[pages[i]["url"]]["http_status"] == 200

@@ -2107,3 +2107,58 @@ def _sql_frontier() -> str:
 
 QUERIES_EXT["frontier"] = q_frontier
 ORACLES_EXT["frontier"] = _sql_frontier()
+
+
+def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fetch THROUGH the CDX index (sources/warc.cdx_fetch):
+    build the archive in the mixed layout (even files plain, odd files
+    gzip-member — both span kinds exercised), index it, filter the
+    index to doc_id % 7 == 0, and decode ONLY those byte spans. The
+    witness joins the recovered body back to the source text
+    (text_ok = byte-identical, the charter invariant) — if any span
+    were wrong the parse would fail or the text would differ."""
+    from .sources import warc as W
+
+    docs = _docs(spark, sf_dir)
+    pages = (
+        U.synth_urls(docs)
+        .select("doc_id", "url")
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .withColumn(
+            "warc_epoch", (F.lit(1767225600) + F.col("doc_id")).cast("bigint")
+        )
+        .withColumn("html", F.encode(F.col("text"), "UTF-8"))
+    )
+    files = W.synth_warc_files(pages, gzip_mode="alternate")
+    idx = W.warc_cdx(files)
+    wanted = idx.filter(
+        F.regexp_extract(F.col("url"), "/doc/([0-9]+)$", 1).cast("bigint") % 7
+        == 0
+    )
+    fetched = W.cdx_fetch(wanted, files).withColumn(
+        "doc_id",
+        F.regexp_extract(F.col("url"), "/doc/([0-9]+)$", 1).cast("bigint"),
+    )
+    return fetched.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "url", "warc_epoch", "http_status",
+        (F.decode(F.col("html"), "UTF-8") == F.col("text")).alias("text_ok"),
+    )
+
+
+def _sql_cdx_fetch() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      SELECT doc_id,
+             'https://' || source || '-'
+               || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+               || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(1767225600 + doc_id AS BIGINT) AS warc_epoch,
+             CAST(200 AS INT) AS http_status,
+             TRUE AS text_ok
+      FROM documents WHERE doc_id % 7 = 0
+    """
+
+
+QUERIES_EXT["cdx_fetch"] = q_cdx_fetch
+ORACLES_EXT["cdx_fetch"] = _sql_cdx_fetch()

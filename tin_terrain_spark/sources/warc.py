@@ -36,7 +36,7 @@ import zlib
 from datetime import datetime, timezone
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 CRLF = b"\r\n"
 
@@ -367,3 +367,49 @@ def synth_warc_files(
         "file_id", F.floor(F.col(id_col) / docs_per_file).cast("bigint")
     )
     return keyed.groupBy("file_id").applyInPandas(pack, WARC_FILE_SCHEMA)
+
+
+FETCH_SCHEMA = (
+    "url STRING, warc_epoch BIGINT, http_status INT, html BINARY"
+)
+
+
+def cdx_fetch(cdx: DataFrame, files: DataFrame, content_col: str = "content",
+              id_col: str = "file_id") -> DataFrame:
+    """Selective record fetch THROUGH the CDX index: given a
+    (typically heavily filtered) slice of the index and the archive
+    files, decode ONLY the indexed byte spans — the random-access
+    consumer that justifies building CDX at all. Plan shape: the
+    filtered index is grouped per file (collect_list of spans — one
+    shuffle sized by the WANTED records, not the archive), hash-joined
+    to the files relation, then a map-only Arrow stage slices
+    data[offset:offset+len] per span and parses just those bytes. At
+    100 TB the archive side never moves: the join ships span lists to
+    wherever the file blocks already are, and a file with no wanted
+    records drops out at the join."""
+    spans = (
+        cdx.groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("rec_offset").alias("o"),
+                         F.col("rec_length").alias("l"))
+            ).alias("_spans")
+        )
+    )
+    joined = files.select(id_col, content_col).join(spans, id_col)
+
+    def op(batches):
+        for pdf in batches:
+            out = {"url": [], "warc_epoch": [], "http_status": [], "html": []}
+            for blob, spans_ in zip(pdf[content_col], pdf["_spans"]):
+                data = bytes(blob)
+                for s in spans_:
+                    o, l = int(s["o"]), int(s["l"])
+                    (rec,) = parse_warc(data[o : o + l])
+                    out["url"].append(rec["url"])
+                    out["warc_epoch"].append(rec["epoch"])
+                    out["http_status"].append(rec["status"])
+                    out["html"].append(rec["body"])
+            yield pd.DataFrame(out)
+
+    return joined.select(content_col, "_spans").mapInPandas(op, FETCH_SCHEMA)
