@@ -2129,7 +2129,10 @@ def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("html", F.encode(F.col("text"), "UTF-8"))
     )
-    files = W.synth_warc_files(pages, gzip_mode="alternate")
+    # persist: the archive is a STORED table in deployment (index
+    # build reads it once, fetches read spans later); without this the
+    # synthetic pack subtree would execute once per consumer
+    files = W.synth_warc_files(pages, gzip_mode="alternate").persist()
     idx = W.warc_cdx(files)
     wanted = idx.filter(
         F.regexp_extract(F.col("url"), "/doc/([0-9]+)$", 1).cast("bigint") % 7
