@@ -159,6 +159,7 @@ def bench_queries():
         "etld1": ("text", QE.QUERIES_EXT["etld1"]),
         "frontier": ("text", QE.QUERIES_EXT["frontier"]),
         "cdx_fetch": ("text", QE.QUERIES_EXT["cdx_fetch"]),
+        "sitemap_tree": ("text", QE.QUERIES_EXT["sitemap_tree"]),
     }
 
 

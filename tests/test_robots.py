@@ -144,3 +144,46 @@ def test_frontier_schedule(spark):
     # one fetcher per host, stable across rows
     a_f = {got[u]["fetcher"] for u in got if u.startswith("https://a")}
     assert len(a_f) == 1 and all(0 <= f < 4 for f in a_f)
+
+
+def test_expand_sitemap_tree(spark):
+    from tin_terrain_spark.operators.robots import expand_sitemap_tree
+
+    idx = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>https://x.org/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://x.org/missing.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    child = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://x.org/a</loc><priority>0.5</priority></url>"
+        "<url><loc>https://x.org/b</loc></url></urlset>"
+    )
+    flat = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://y.org/c</loc></url></urlset>"
+    )
+    files = spark.createDataFrame(
+        [
+            ("https://x.org/sitemap.xml", idx),
+            ("https://x.org/s1.xml", child),
+            ("https://y.org/sitemap.xml", flat),
+        ],
+        "sitemap_url STRING, sitemap_xml STRING",
+    )
+    got = {
+        (r["root_url"], r["loc"]): r
+        for r in expand_sitemap_tree(files).collect()
+    }
+    # s1.xml is ALSO a root (it is in the files table), so its leaves
+    # appear twice: once at depth 1 under itself, once at depth 2
+    # under the index that references it
+    assert got[("https://x.org/sitemap.xml", "https://x.org/a")]["depth"] == 2
+    assert got[("https://x.org/sitemap.xml", "https://x.org/a")]["priority"] == 0.5
+    assert got[("https://x.org/sitemap.xml", "https://x.org/b")]["depth"] == 2
+    assert got[("https://x.org/s1.xml", "https://x.org/a")]["depth"] == 1
+    assert got[("https://y.org/sitemap.xml", "https://y.org/c")]["depth"] == 1
+    # dangling child reference dropped, no leaf under missing.xml
+    assert not any(loc == "https://x.org/missing.xml" for _, loc in got)
+    assert len(got) == 5  # {a,b} under two roots + c

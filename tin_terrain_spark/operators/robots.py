@@ -276,3 +276,75 @@ def frontier_schedule(
             ).cast("bigint"),
         )
     )
+
+
+SITEMAP_TREE_SCHEMA = (
+    "root_url STRING, loc STRING, lastmod_epoch BIGINT, priority DOUBLE, "
+    "is_index BOOLEAN, depth INT"
+)
+
+
+def _parse_level(frontier: DataFrame) -> DataFrame:
+    """(root_url, _xml, depth) → one row per entry of each sitemap,
+    depth incremented. Map-only Arrow stage."""
+
+    def op(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "root_url", "loc", "lastmod_epoch", "priority",
+                "is_index", "depth")}
+            for root, xml, d in zip(pdf["root_url"], pdf["_xml"], pdf["depth"]):
+                for rec in parse_sitemap(xml):
+                    out["root_url"].append(root)
+                    out["loc"].append(rec["loc"])
+                    out["lastmod_epoch"].append(rec["lastmod_epoch"])
+                    out["priority"].append(rec["priority"])
+                    out["is_index"].append(rec["is_index"])
+                    out["depth"].append(int(d) + 1)
+            yield pd.DataFrame(out)
+
+    return frontier.mapInPandas(op, SITEMAP_TREE_SCHEMA)
+
+
+def expand_sitemap_tree(
+    files: DataFrame,
+    url_col: str = "sitemap_url",
+    xml_col: str = "sitemap_xml",
+    max_depth: int = 3,
+) -> DataFrame:
+    """Recursive sitemap discovery: parse every root sitemap; entries
+    of a sitemapindex are FOLLOWED (equi-join of the child loc back to
+    the files table), plain urlset entries are emitted as leaves with
+    their depth. The loop is UNROLLED max_depth times into one
+    declarative plan — no driver actions, each level is a map-only
+    parse + one hash join sized by the index entries (sitemap files
+    are ~50k-url shards; the fan-out is bounded by the files table,
+    so at 100 TB the whole tree walk is a few joins over a sitemap
+    table that is ~10^-4 of the corpus). Dangling child references
+    drop out at the join (a real crawl treats them as fetch failures);
+    index entries still unresolved at max_depth are dropped — raise
+    max_depth for deeper trees (real-world trees are depth ≤ 2; cycles
+    would duplicate leaves up to max_depth, as in a real crawler's
+    bounded frontier)."""
+    frontier = files.select(
+        F.col(url_col).alias("root_url"),
+        F.col(xml_col).alias("_xml"),
+        F.lit(0).alias("depth"),
+    )
+    leaves = None
+    for _ in range(max_depth):
+        entries = _parse_level(frontier)
+        level_leaves = entries.filter(~F.col("is_index")).drop("is_index")
+        leaves = level_leaves if leaves is None else leaves.unionByName(level_leaves)
+        frontier = (
+            entries.filter(F.col("is_index"))
+            .select("root_url", "loc", "depth")
+            .join(
+                files.select(
+                    F.col(url_col).alias("loc"), F.col(xml_col).alias("_xml")
+                ),
+                "loc",
+            )
+            .select("root_url", "_xml", "depth")
+        )
+    return leaves

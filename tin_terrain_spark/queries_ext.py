@@ -2165,3 +2165,83 @@ def _sql_cdx_fetch() -> str:
 
 QUERIES_EXT["cdx_fetch"] = q_cdx_fetch
 ORACLES_EXT["cdx_fetch"] = _sql_cdx_fetch()
+
+
+def q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive sitemap discovery (robots.expand_sitemap_tree): per
+    host a sitemapindex root references two child urlset shards
+    (doc_id parity); the fixed-depth unrolled walk joins index entries
+    back to the files table and emits every page url at depth 2 with
+    lastmod/priority intact. Oracle: every doc appears exactly once
+    under its host's root index."""
+    from .operators import robots as R
+
+    did = F.col("doc_id")
+    base = U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.col("url"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad(((did % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    children = (
+        base.select("host", (did % 2).alias("shard"), entry.alias("entry"))
+        .groupBy("host", "shard")
+        .agg(
+            F.concat(
+                F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/sitemap-"),
+                F.col("shard").cast("string"), F.lit(".xml"),
+            ).alias("sitemap_url"),
+            "sitemap_xml",
+        )
+    )
+    roots = base.select("host").distinct().select(
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")).alias(
+            "sitemap_url"
+        ),
+        F.concat(
+            F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.lit("<sitemap><loc>https://"), F.col("host"),
+            F.lit("/sitemap-0.xml</loc></sitemap>"),
+            F.lit("<sitemap><loc>https://"), F.col("host"),
+            F.lit("/sitemap-1.xml</loc></sitemap></sitemapindex>"),
+        ).alias("sitemap_xml"),
+    )
+    files = children.unionByName(roots)
+    leaves = R.expand_sitemap_tree(files, max_depth=2)
+    # the shard files are roots too (they ARE in the files table);
+    # keep only the walk that started at the host's index root
+    return leaves.filter(F.col("root_url").endswith("/sitemap.xml"))
+
+
+def _sql_sitemap_tree() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH h AS (
+        SELECT doc_id,
+               source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS host
+        FROM documents
+      )
+      SELECT 'https://' || host || '/sitemap.xml' AS root_url,
+             'https://' || host || '/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+             1767225600 + (doc_id % 28) * 86400 AS lastmod_epoch,
+             CAST(doc_id % 10 AS DOUBLE) / 10e0 AS priority,
+             CAST(2 AS INT) AS depth
+      FROM h
+    """
+
+
+QUERIES_EXT["sitemap_tree"] = q_sitemap_tree
+ORACLES_EXT["sitemap_tree"] = _sql_sitemap_tree()
