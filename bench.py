@@ -160,6 +160,7 @@ def bench_queries():
         "frontier": ("text", QE.QUERIES_EXT["frontier"]),
         "cdx_fetch": ("text", QE.QUERIES_EXT["cdx_fetch"]),
         "sitemap_tree": ("text", QE.QUERIES_EXT["sitemap_tree"]),
+        "host_graph": ("graph", QE.QUERIES_EXT["host_graph"]),
     }
 
 

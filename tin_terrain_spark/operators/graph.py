@@ -168,3 +168,22 @@ def sql_pagerank(iters: int = N_ITERS, damping: float = DAMPING) -> str:
       SELECT node AS doc_id, round(rank * p.n, 6) AS rank_x_n
       FROM {prev}, params p
     """
+
+
+def host_graph(links: DataFrame, src_url: str = "page_url",
+               dst_url: str = "link_url") -> DataFrame:
+    """Collapse a page-level link table to the HOST graph — the
+    domain-granularity web graph behind spam/centrality analysis and
+    crawl budgeting. Pure JVM: parse_url on both endpoints + one
+    map-side-combinable aggregate keyed on (src_host, dst_host); at
+    10^12 links the combine collapses each partition to its distinct
+    host pairs (hosts ~10^7, pairs far fewer than rows) before the
+    shuffle. Self-loops (intra-host links) are kept — callers that
+    want the inter-host graph filter src_host != dst_host."""
+    src = F.parse_url(F.col(src_url), F.lit("HOST"))
+    dst = F.parse_url(F.col(dst_url), F.lit("HOST"))
+    return (
+        links.select(src.alias("src_host"), dst.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

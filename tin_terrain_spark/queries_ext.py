@@ -2245,3 +2245,49 @@ def _sql_sitemap_tree() -> str:
 
 QUERIES_EXT["sitemap_tree"] = q_sitemap_tree
 ORACLES_EXT["sitemap_tree"] = _sql_sitemap_tree()
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web graph (graph.host_graph): links harvested from
+    real HTML (htmlops.extract_links over synth_linked_html pages)
+    collapsed to (src_host, dst_host, n_links); the relative link is
+    an intra-host self-loop by construction, the absolute link
+    crosses hosts. Closed-form oracle rebuilds both endpoints
+    arithmetically."""
+    from .operators import graph as G
+    from .operators import htmlops as H
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    pages = H.synth_linked_html(docs, n)
+    links = H.extract_links(pages, url_col="url")
+    pages_urls = pages.select("doc_id", F.col("url").alias("page_url"))
+    return G.host_graph(links.join(pages_urls, "doc_id"))
+
+
+def _sql_host_graph() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH params AS (SELECT count(*) AS n FROM documents),
+      edges AS (
+        SELECT source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS src_host,
+               source || '-'
+                 || CAST(((doc_id * 7 + 1) % n) % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS dst_host
+        FROM documents, params
+        UNION ALL
+        SELECT source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org',
+               source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org'
+        FROM documents, params
+      )
+      SELECT src_host, dst_host, count(*) AS n_links
+      FROM edges GROUP BY src_host, dst_host
+    """
+
+
+QUERIES_EXT["host_graph"] = q_host_graph
+ORACLES_EXT["host_graph"] = _sql_host_graph()
