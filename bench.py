@@ -161,6 +161,7 @@ def bench_queries():
         "cdx_fetch": ("text", QE.QUERIES_EXT["cdx_fetch"]),
         "sitemap_tree": ("text", QE.QUERIES_EXT["sitemap_tree"]),
         "host_graph": ("graph", QE.QUERIES_EXT["host_graph"]),
+        "boilerplate_lines": ("text", QE.QUERIES_EXT["boilerplate_lines"]),
     }
 
 

@@ -132,3 +132,25 @@ class TestRegisteredDomain:
         df = spark.createDataFrame([("a.co.uk",)], "host STRING")
         plan = registered_domain(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_boilerplate_lines(spark):
+    from tin_terrain_spark.operators.textops import strip_boilerplate_lines
+
+    rows = [
+        (0, "h", "NAV\nalpha\nFOOT"),
+        (1, "h", "NAV\nbeta\nFOOT"),
+        (2, "h", "NAV\ngamma\nFOOT"),
+        (3, "h", "NAV\nFOOT"),  # all lines boilerplate -> ''
+        (4, "g", "NAV\ndelta"),  # group g too small: nothing stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, host STRING, text STRING")
+    got = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(df, min_docs=3, min_frac=0.5).collect()
+    }
+    assert got[0]["clean_text"] == "alpha" and got[0]["n_removed"] == 2
+    assert got[1]["clean_text"] == "beta"
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 2
+    assert got[4]["clean_text"] == "NAV\ndelta" and got[4]["n_removed"] == 0
+    assert len(got) == 5

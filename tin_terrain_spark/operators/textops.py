@@ -627,3 +627,66 @@ def sql_pii_scrub() -> str:
               + len(regexp_extract_all(pii_text, '{PII_PHONE_RE}'))) > 0 AS redacted
       FROM pii
     """
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "host",
+    min_docs: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """CCNet-style frequency boilerplate removal: a LINE that appears
+    in ≥ min_docs documents AND ≥ min_frac of a group's documents
+    (group = host/shard) is template chrome (nav, copyright footers) —
+    strip it from every doc and reassemble the remaining lines in
+    order. Plan: one posexplode, one (group, line) agg + one group agg
+    (both map-side combinable — a line's count collapses per
+    partition before the shuffle), one left anti-style join back, one
+    per-doc ordered reassembly (collect_list of (pos, line) structs +
+    array_sort — no window). Returns (doc_id, clean_text, n_removed);
+    docs whose every line was boilerplate come back with ''."""
+    lines = docs.select(
+        group_col,
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    group_sizes = docs.groupBy(group_col).agg(
+        F.count_distinct(F.col("doc_id")).alias("_n_docs")
+    )
+    bp = (
+        lines.groupBy(group_col, "line")
+        .agg(F.count_distinct(F.col("doc_id")).alias("_n"))
+        .join(group_sizes, group_col)
+        .where(
+            (F.col("_n") >= min_docs)
+            & (F.col("_n") / F.col("_n_docs") >= min_frac)
+        )
+        .select(group_col, "line", F.lit(True).alias("_bp"))
+    )
+    tagged = lines.join(bp, [group_col, "line"], "left")
+    rebuilt = (
+        tagged.filter(F.col("_bp").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            (F.col("_total") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )

@@ -2291,3 +2291,70 @@ def _sql_host_graph() -> str:
 
 QUERIES_EXT["host_graph"] = q_host_graph
 ORACLES_EXT["host_graph"] = _sql_host_graph()
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency boilerplate removal (textops.strip_boilerplate_lines):
+    every doc gets a nav header and a per-shard copyright footer
+    injected; lines present in ≥3 docs AND ≥50% of the shard's docs
+    are stripped and the text reassembled in order. The oracle
+    recomputes the identical rule in DuckDB (so incidental repeats in
+    the source text are handled identically on both sides)."""
+    grp = F.concat(F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"))
+    aug = (
+        _docs(spark, sf_dir)
+        .withColumn("host", grp)
+        .withColumn(
+            "full_text",
+            F.concat(
+                F.lit("Home | About | Contact\n"),
+                F.col("text"),
+                F.lit("\nCopyright shard "),
+                F.col("host"),
+            ),
+        )
+    )
+    return T.strip_boilerplate_lines(aug, text_col="full_text")
+
+
+def _sql_boilerplate_lines() -> str:
+    return """
+      WITH d AS (
+        SELECT doc_id,
+               source || '-' || CAST(doc_id % 7 AS VARCHAR) AS grp,
+               'Home | About | Contact' || chr(10) || text || chr(10)
+                 || 'Copyright shard ' || source || '-'
+                 || CAST(doc_id % 7 AS VARCHAR) AS full_text
+        FROM documents
+      ), lines AS (
+        SELECT doc_id, grp, CAST(u.i AS INT) AS pos,
+               string_split(full_text, chr(10))[u.i + 1] AS line
+        FROM d, LATERAL unnest(range(len(string_split(full_text, chr(10)))))
+               AS u(i)
+      ), sizes AS (
+        SELECT grp, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY grp
+      ), bp AS (
+        SELECT f.grp, f.line
+        FROM (SELECT grp, line, count(DISTINCT doc_id) AS n
+              FROM lines GROUP BY grp, line) f
+        JOIN sizes USING (grp)
+        WHERE f.n >= 3 AND CAST(f.n AS DOUBLE) / n_docs >= 0.5
+      ), kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l LEFT JOIN bp b ON l.grp = b.grp AND l.line = b.line
+        WHERE b.line IS NULL
+      ), rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*) AS kept
+        FROM kept GROUP BY doc_id
+      ), totals AS (
+        SELECT doc_id, count(*) AS total FROM lines GROUP BY doc_id
+      )
+      SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+             CAST(t.total - COALESCE(r.kept, 0) AS INT) AS n_removed
+      FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+QUERIES_EXT["boilerplate_lines"] = q_boilerplate_lines
+ORACLES_EXT["boilerplate_lines"] = _sql_boilerplate_lines()
