@@ -162,6 +162,7 @@ def bench_queries():
         "sitemap_tree": ("text", QE.QUERIES_EXT["sitemap_tree"]),
         "host_graph": ("graph", QE.QUERIES_EXT["host_graph"]),
         "boilerplate_lines": ("text", QE.QUERIES_EXT["boilerplate_lines"]),
+        "incr_dedup": ("dedup", QE.QUERIES_EXT["incr_dedup"]),
     }
 
 

@@ -154,3 +154,32 @@ def test_strip_boilerplate_lines(spark):
     assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 2
     assert got[4]["clean_text"] == "NAV\ndelta" and got[4]["n_removed"] == 0
     assert len(got) == 5
+
+
+def test_dedup_against_store(spark):
+    from tin_terrain_spark.operators.dedup import (
+        band_keys,
+        dedup_against_store,
+        shingles_df,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "a"),
+        (2, "completely different content about spark plans here", "a"),
+        (10, base + " extra", "a"),  # near-dup of store doc 1
+        (11, "novel text with no counterpart in the store at all", "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    store = docs.filter("doc_id < 10")
+    new = docs.filter("doc_id >= 10")
+    got = {
+        r["doc_id"]: r
+        for r in dedup_against_store(
+            new, band_keys(store), shingles_df(store), threshold=0.5
+        ).collect()
+    }
+    assert got[10]["is_dup"] and got[10]["dup_of"] == 1
+    assert got[10]["jaccard"] >= 0.5
+    assert not got[11]["is_dup"] and got[11]["dup_of"] is None
+    assert len(got) == 2

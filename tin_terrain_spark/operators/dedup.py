@@ -587,3 +587,92 @@ def sql_span_dups(window: int = 4, n: int = NGRAM) -> str:
       FROM ({sql_winnow_fingerprints(window=window, n=n)})
       GROUP BY fp HAVING count(*) >= 2
     """
+
+
+def band_keys(docs: DataFrame, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_key) — the storable LSH band index of a
+    corpus (what a production pipeline WRITES when a batch is
+    admitted, so later batches can dedup against it without touching
+    the corpus text)."""
+    rows_per_band = len(MINHASH_FUNCS) // bands
+    sig = minhash_signatures(docs).withColumn(
+        "band", (F.col("func_id") / rows_per_band).cast("int")
+    )
+    return sig.groupBy("doc_id", "band").agg(
+        F.sum(
+            (F.col("func_id") % rows_per_band + 1) * F.col("minhash")
+        ).alias("band_key")
+    )
+
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store_bands: DataFrame,
+    store_shingles: DataFrame,
+    threshold: float = 0.5,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental near-dup dedup: a NEW crawl batch against the
+    STORED corpus index — the production daily shape. The corpus side
+    is two stored tables (band_keys + shingle sets, written once per
+    admitted batch); the new batch computes only ITS OWN signatures,
+    probes the band index with one equi-join, and Jaccard-refines the
+    candidates. Nothing re-LSHes or re-scans the existing corpus.
+
+    Returns one row per new doc: (doc_id, dup_of, jaccard, is_dup) —
+    dup_of the smallest store doc whose refined Jaccard ≥ threshold
+    (NULL → admit). Scale note: a degenerate hot band bucket in the
+    store multiplies candidates; a store may keep ≤K representatives
+    per (band, band_key) to bound probe fan-out at a recall cost —
+    this op takes the store as-given."""
+    nb = band_keys(new_docs, bands)
+    cand = (
+        nb.join(
+            store_bands.select(
+                F.col("doc_id").alias("old_id"), "band", "band_key"
+            ),
+            ["band", "band_key"],
+        )
+        .select(F.col("doc_id").alias("new_id"), "old_id")
+        .distinct()
+    )
+    ns = shingles_df(new_docs)
+    n_sizes = ns.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
+    o_sizes = store_shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz_old")
+    )
+    inter = (
+        cand.join(ns.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(
+            store_shingles.withColumnRenamed("doc_id", "old_id"),
+            ["old_id", "tok"],
+        )
+        .groupBy("new_id", "old_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        inter.join(n_sizes.withColumnRenamed("doc_id", "new_id"), "new_id")
+        .join(o_sizes.withColumnRenamed("doc_id", "old_id"), "old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_new") + F.col("sz_old") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = j.groupBy("new_id").agg(
+        F.min(F.struct(F.col("old_id"), F.col("jaccard"))).alias("_b")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_b.old_id").alias("dup_of"),
+            F.col("_b.jaccard").alias("jaccard"),
+            F.col("_b").isNotNull().alias("is_dup"),
+        )
+    )

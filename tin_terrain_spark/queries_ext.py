@@ -2358,3 +2358,66 @@ def _sql_boilerplate_lines() -> str:
 
 QUERIES_EXT["boilerplate_lines"] = q_boilerplate_lines
 ORACLES_EXT["boilerplate_lines"] = _sql_boilerplate_lines()
+
+
+def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (dedup.dedup_against_store): docs are split
+    into an admitted corpus (doc_id % 3 != 0, whose band index +
+    shingle store exist as tables) and a new batch (doc_id % 3 == 0)
+    that probes the index and Jaccard-refines — the corpus text is
+    never re-LSHed. Oracle recomputes signatures for all docs and
+    replays the same probe in SQL."""
+    docs = _docs(spark, sf_dir)
+    new_batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.dedup_against_store(
+        new_batch, D.band_keys(store), D.shingles_df(store), threshold=0.5
+    )
+
+
+def _sql_incr_dedup(threshold: float = 0.5, bands: int = 4) -> str:
+    rpb = len(D.MINHASH_FUNCS) // bands
+    return f"""
+      WITH sig AS ({_sql_minhash()}),
+      bandk AS (
+        SELECT doc_id, CAST(FLOOR(func_id / {rpb}) AS INT) AS band,
+               sum((func_id % {rpb} + 1) * minhash) AS band_key
+        FROM sig GROUP BY doc_id, CAST(FLOOR(func_id / {rpb}) AS INT)
+      ),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bandk n JOIN bandk o
+          ON n.band = o.band AND n.band_key = o.band_key
+        WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+      ),
+      tok_sets AS ({D.sql_shingles()}),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM tok_sets GROUP BY doc_id),
+      inter AS (
+        SELECT c.new_id, c.old_id, count(*) AS n_inter
+        FROM cand c
+        JOIN tok_sets a ON a.doc_id = c.new_id
+        JOIN tok_sets b ON b.doc_id = c.old_id AND b.tok = a.tok
+        GROUP BY c.new_id, c.old_id
+      ),
+      j AS (
+        SELECT i.new_id, i.old_id,
+               round(CAST(i.n_inter AS DOUBLE)
+                     / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.new_id
+        JOIN sizes sb ON sb.doc_id = i.old_id
+      ),
+      best AS (
+        SELECT new_id, min(old_id) AS dup_of,
+               arg_min(jaccard, old_id) AS jaccard
+        FROM j WHERE jaccard >= {threshold} GROUP BY new_id
+      )
+      SELECT d.doc_id, b.dup_of, b.jaccard,
+             b.dup_of IS NOT NULL AS is_dup
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      LEFT JOIN best b ON b.new_id = d.doc_id
+    """
+
+
+QUERIES_EXT["incr_dedup"] = q_incr_dedup
+ORACLES_EXT["incr_dedup"] = _sql_incr_dedup()
