@@ -163,6 +163,7 @@ def bench_queries():
         "host_graph": ("graph", QE.QUERIES_EXT["host_graph"]),
         "boilerplate_lines": ("text", QE.QUERIES_EXT["boilerplate_lines"]),
         "incr_dedup": ("dedup", QE.QUERIES_EXT["incr_dedup"]),
+        "length_quantiles": ("text", QE.QUERIES_EXT["length_quantiles"]),
     }
 
 

@@ -2421,3 +2421,39 @@ def _sql_incr_dedup(threshold: float = 0.5, bands: int = 4) -> str:
 
 QUERIES_EXT["incr_dedup"] = q_incr_dedup
 ORACLES_EXT["incr_dedup"] = _sql_incr_dedup()
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language doc-length quantiles (p50/p90/p99 of
+    n_chars) — corpus profiling for mixture/filter threshold choice.
+    Spark's exact `percentile` aggregate and DuckDB's quantile_cont
+    share linear interpolation on the sorted values, so the twins
+    hash-match at 6 dp. One map-side-combinable agg keyed on lang
+    (cardinality ~10^2 at any corpus scale; at 100 TB prefer
+    approx_percentile with an accuracy knob — documented tradeoff,
+    this query pins the exact semantics)."""
+    pct = F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(pct.getItem(0), 6).alias("p50"),
+            F.round(pct.getItem(1), 6).alias("p90"),
+            F.round(pct.getItem(2), 6).alias("p99"),
+        )
+    )
+
+
+def _sql_length_quantiles() -> str:
+    return """
+      SELECT lang, count(*) AS n_docs,
+             round(quantile_cont(n_chars, 0.5), 6) AS p50,
+             round(quantile_cont(n_chars, 0.9), 6) AS p90,
+             round(quantile_cont(n_chars, 0.99), 6) AS p99
+      FROM documents GROUP BY lang
+    """
+
+
+QUERIES_EXT["length_quantiles"] = q_length_quantiles
+ORACLES_EXT["length_quantiles"] = _sql_length_quantiles()
