@@ -89,6 +89,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         "etld1": QE.QUERIES_EXT["etld1"],
         "frontier": QE.QUERIES_EXT["frontier"],
         "sitemap_urls": QE.QUERIES_EXT["sitemap_urls"],
+        # boilerplate_lines: two map-side-combinable aggs + join-back,
+        # NO window; host_graph: parse_url + ONE combinable agg;
+        # incr_dedup: the store probe must be a hash equi-join on
+        # (band, band_key) with the new batch's subtree on the build
+        # side at real store sizes
+        "boilerplate_lines": QE.QUERIES_EXT["boilerplate_lines"],
+        "host_graph": QE.QUERIES_EXT["host_graph"],
+        "incr_dedup": QE.QUERIES_EXT["incr_dedup"],
     }
     from bench import bench_queries
 
