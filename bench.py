@@ -164,6 +164,7 @@ def bench_queries():
         "boilerplate_lines": ("text", QE.QUERIES_EXT["boilerplate_lines"]),
         "incr_dedup": ("dedup", QE.QUERIES_EXT["incr_dedup"]),
         "length_quantiles": ("text", QE.QUERIES_EXT["length_quantiles"]),
+        "bpe_merges": ("text", QE.QUERIES_EXT["bpe_merges"]),
     }
 
 

@@ -183,3 +183,22 @@ def test_dedup_against_store(spark):
     assert got[10]["jaccard"] >= 0.5
     assert not got[11]["is_dup"] and got[11]["dup_of"] is None
     assert len(got) == 2
+
+
+def test_bpe_merges_hand_case(spark):
+    from tin_terrain_spark.operators.textops import bpe_merges
+
+    # corpus: 'low' x5, 'lower' x2, 'lowest' x1 (the classic example)
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["lowest"])
+    docs = spark.createDataFrame([(0, text)], "doc_id BIGINT, text STRING")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, k=3).orderBy("rank").collect()
+    ]
+    # pairs in round 1: (l,o)x8, (o,w)x8, (w,e)x3, (e,r)x2, (e,s)x1,
+    # (s,t)x1 -> tie (l,o)/(o,w) broken lexically: (l,o)
+    assert got[0] == (1, "l", "o", 8)
+    # round 2: (lo,w)x8 wins
+    assert got[1] == (2, "lo", "w", 8)
+    # round 3: (low,e)x3 wins
+    assert got[2] == (3, "low", "e", 3)

@@ -690,3 +690,81 @@ def strip_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+
+
+def bpe_merges(docs: DataFrame, k: int = 6, text_col: str = "text") -> DataFrame:
+    """Learn the first k BPE merges over the corpus (byte-pair-encoding
+    vocabulary induction — the tokenizer-training step of an LLM data
+    pipeline). Words (whitespace tokens) collapse to a (word, freq)
+    table ONCE — all iteration happens on the vocabulary, which is
+    orders of magnitude smaller than the corpus. Each round: count
+    adjacent symbol pairs weighted by word freq (one map-side-
+    combinable agg), pick the (count desc, pair asc) argmax IN-PLAN
+    (one-row aggregate, broadcast cross join — no driver decision),
+    and rewrite every word with a left fold that reproduces canonical
+    leftmost-non-overlapping merging (a just-merged token LR can never
+    equal L, so the fold needs no lookahead). Per-round eager
+    localCheckpoint = the repo's CC/pagerank loop discipline (bounds
+    plan depth; ~2k actions total on the tiny vocab relation).
+
+    Returns k rows: (rank, left, right, pair_count)."""
+    chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.array_join(chars, " ").alias("word"), "freq")
+    )
+    cur = words.localCheckpoint()
+    merges = None
+    for rank in range(1, k + 1):
+        syms = F.split(F.col("word"), " ")
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array())
+        pc = (
+            cur.select(F.explode(pair_arr).alias("p"), "freq")
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pc.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("l"), F.col("r")
+                    )
+                ).alias("b")
+            )
+            .select(
+                F.lit(rank).alias("rank"),
+                F.col("b.l").alias("left"),
+                F.col("b.r").alias("right"),
+                (-F.col("b.nc")).alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        joined = cur.crossJoin(F.broadcast(best.select("left", "right")))
+        s2 = F.split(F.col("word"), " ")
+        folded = F.aggregate(
+            F.slice(s2, 2, F.size(s2) - 1),
+            F.element_at(s2, 1),
+            lambda acc, x: F.when(
+                (x == F.col("right"))
+                & (
+                    (acc == F.col("left"))
+                    | acc.endswith(F.concat(F.lit(" "), F.col("left")))
+                ),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(" "), x)),
+        )
+        cur = joined.select(folded.alias("word"), "freq").localCheckpoint()
+    return merges

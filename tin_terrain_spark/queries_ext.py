@@ -2457,3 +2457,50 @@ def _sql_length_quantiles() -> str:
 
 QUERIES_EXT["length_quantiles"] = q_length_quantiles
 ORACLES_EXT["length_quantiles"] = _sql_length_quantiles()
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (textops.bpe_merges): first 6 merges
+    learned over the corpus word-frequency table; DuckDB twin unrolls
+    the same 6 rounds (argmax by count desc / pair asc, canonical
+    leftmost-non-overlap rewrite via list_reduce)."""
+    return T.bpe_merges(_docs(spark, sf_dir), k=6)
+
+
+def _sql_bpe_merges(k: int = 6) -> str:
+    parts = [
+        """w0 AS (
+        SELECT array_to_string(string_split_regex(w, ''), ' ') AS word,
+               count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY w
+      )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(f"""b{r} AS (
+        SELECT toks[i] AS lft, toks[i + 1] AS rgt,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT string_split(word, ' ') AS toks, freq FROM w{r - 1}),
+             LATERAL unnest(range(1, len(toks))) AS u(i)
+        GROUP BY toks[i], toks[i + 1]
+        ORDER BY cnt DESC, lft, rgt LIMIT 1
+      )""")
+        parts.append(f"""w{r} AS (
+        SELECT list_reduce(string_split(word, ' '),
+                 (acc, x) -> CASE WHEN x = b.rgt
+                                   AND (acc = b.lft
+                                        OR ends_with(acc, ' ' || b.lft))
+                                  THEN acc || x
+                                  ELSE acc || ' ' || x END) AS word, freq
+        FROM w{r - 1}, b{r} b
+      )""")
+    union = "\n      UNION ALL ".join(
+        f'SELECT CAST({r} AS INT) AS rank, lft AS "left", rgt AS "right", '
+        f"cnt AS pair_count FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n      ".join(parts) + "\n      " + union
+
+
+QUERIES_EXT["bpe_merges"] = q_bpe_merges
+ORACLES_EXT["bpe_merges"] = _sql_bpe_merges()
