@@ -165,6 +165,7 @@ def bench_queries():
         "incr_dedup": ("dedup", QE.QUERIES_EXT["incr_dedup"]),
         "length_quantiles": ("text", QE.QUERIES_EXT["length_quantiles"]),
         "bpe_merges": ("text", QE.QUERIES_EXT["bpe_merges"]),
+        "bpe_encode": ("text", QE.QUERIES_EXT["bpe_encode"]),
     }
 
 

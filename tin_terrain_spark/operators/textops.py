@@ -708,6 +708,15 @@ def bpe_merges(docs: DataFrame, k: int = 6, text_col: str = "text") -> DataFrame
     plan depth; ~2k actions total on the tiny vocab relation).
 
     Returns k rows: (rank, left, right, pair_count)."""
+    merges, _vocab = _bpe_learn(docs, k, text_col)
+    return merges
+
+
+def _bpe_learn(docs: DataFrame, k: int, text_col: str):
+    """Shared BPE training loop: returns (merges, final vocab) — the
+    vocab rows are (word = space-joined tokens after k merges, freq);
+    the space-stripped word is the original surface form, so encoders
+    can join back without carrying a key through the rewrites."""
     chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -767,4 +776,31 @@ def bpe_merges(docs: DataFrame, k: int = 6, text_col: str = "text") -> DataFrame
             ).otherwise(F.concat(acc, F.lit(" "), x)),
         )
         cur = joined.select(folded.alias("word"), "freq").localCheckpoint()
-    return merges
+    return merges, cur
+
+
+def bpe_encode(docs: DataFrame, k: int = 6, text_col: str = "text") -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges: per doc the
+    whitespace-word count and the BPE token count (the number every
+    token-budget decision — mix_plan, Chinchilla-style sizing — needs
+    from the REAL tokenizer rather than a whitespace proxy). The k
+    merges train inside the plan (_bpe_learn); encoding is a hash join
+    of the corpus words against the rewritten vocabulary (the
+    space-stripped rewritten word IS the surface form — no key
+    threading), then one per-doc agg."""
+    _merges, vocab = _bpe_learn(docs, k, text_col)
+    tok = vocab.select(
+        F.regexp_replace(F.col("word"), " ", "").alias("w"),
+        F.size(F.split(F.col("word"), " ")).alias("n_toks"),
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(tok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )

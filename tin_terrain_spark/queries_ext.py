@@ -2504,3 +2504,34 @@ def _sql_bpe_merges(k: int = 6) -> str:
 
 QUERIES_EXT["bpe_merges"] = q_bpe_merges
 ORACLES_EXT["bpe_merges"] = _sql_bpe_merges()
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (textops.bpe_encode): per-doc word and BPE
+    token counts under the 6 corpus-learned merges; the DuckDB twin
+    re-learns the identical merges (unrolled CTEs) and re-encodes."""
+    return T.bpe_encode(_docs(spark, sf_dir), k=6)
+
+
+def _sql_bpe_encode(k: int = 6) -> str:
+    learn = _sql_bpe_merges(k)
+    # reuse the learn CTE chain; swap the final union for the encoder
+    with_block = learn[: learn.rindex("SELECT CAST(1 AS INT)")].rstrip()
+    return f"""{with_block},
+      tok AS (
+        SELECT replace(word, ' ', '') AS w,
+               len(string_split(word, ' ')) AS n_toks
+        FROM w{k}
+      ),
+      dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      )
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM dw JOIN tok USING (w)
+      WHERE w <> '' GROUP BY doc_id
+    """
+
+
+QUERIES_EXT["bpe_encode"] = q_bpe_encode
+ORACLES_EXT["bpe_encode"] = _sql_bpe_encode()
