@@ -205,3 +205,106 @@ def test_repair_corners_native_matches_python_random(seed, size, n_valid):
         native._ptr(gn.z, ctypes.c_double), size, size, float(gn.ndv)
     )
     assert np.array_equal(gp.z, gn.z, equal_nan=True)
+
+
+# --- public-suffix algorithm: Spark plan vs independent Python evaluator ---
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tin_terrain_spark.session import get_spark
+
+    s = get_spark("prop", cores=4)
+    yield s
+    s.stop()
+
+
+def _psl_reference(host: str, rules) -> tuple[str | None, str | None]:
+    """Straight-line Python implementation of the publicsuffix.org
+    algorithm (independent of the Spark candidate-join plan)."""
+    labels = host.split(".")
+    exc_len = None
+    best = 0  # implicit '*' rule = 1 label; track matched label count
+    for raw in rules:
+        exc = raw.startswith("!")
+        pat = (raw[1:] if exc else raw).split(".")
+        if len(pat) > len(labels):
+            continue
+        tail = labels[-len(pat):]
+        if all(p == "*" or p == t for p, t in zip(pat, tail)):
+            if exc:
+                exc_len = len(pat) - 1
+            else:
+                best = max(best, len(pat))
+    slen = exc_len if exc_len is not None else max(best, 1)
+    if len(labels) <= slen:
+        return None, None
+    return ".".join(labels[-slen:]), ".".join(labels[-(slen + 1):])
+
+
+def test_registered_domain_reference_batch(spark):
+    from tin_terrain_spark.operators.urlops import PSL_RULES, registered_domain
+
+    import itertools
+    import random
+
+    alphabet = ["www", "a", "b", "blog", "ck", "uk", "co", "org",
+                "github", "io"]
+    rng = random.Random(42)
+    gen = [".".join(t) for t in itertools.product(alphabet, repeat=2)]
+    gen += [
+        ".".join(rng.choice(alphabet) for _ in range(rng.randint(3, 5)))
+        for _ in range(200)
+    ]
+    hosts = sorted(
+        set(alphabet) | set(gen)
+        | {
+            "co.uk", "a.co.uk", "x.a.co.uk", "ck", "a.ck", "b.a.ck",
+            "www.ck", "a.www.ck", "b.a.www.ck", "github.io",
+            "u.github.io", "v.u.github.io", "org", "a.org",
+            "unknown", "a.unknown", "b.a.unknown",
+        }
+    )
+    df = spark.createDataFrame([(h,) for h in hosts], "host STRING")
+    got = {
+        r["host"]: (r["public_suffix"], r["registered_domain"])
+        for r in registered_domain(df).collect()
+    }
+    for h in hosts:
+        assert got[h] == _psl_reference(h, PSL_RULES), h
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4000), min_size=1, max_size=8),
+    st.booleans(),
+)
+def test_cdx_index_random_shapes(sizes, gz):
+    """index → seek roundtrip for arbitrary body sizes (incl. empty)
+    in both layouts; spans tile the plain file exactly."""
+    import hashlib
+
+    from tin_terrain_spark.sources.warc import build_warc, index_warc, parse_warc
+
+    pages = [
+        {
+            "url": f"https://h{i}.example.org/doc/{i}",
+            "epoch": 1767225600 + i,
+            "html": bytes([65 + (i + j) % 26 for j in range(n)]),
+            "record_id": i,
+        }
+        for i, n in enumerate(sizes)
+    ]
+    blob = build_warc(pages, gzip_records=gz)
+    idx = index_warc(blob)
+    assert len(idx) == len(pages)
+    for p, r in zip(pages, idx):
+        assert r["seek_ok"] is True
+        assert r["digest"] == hashlib.md5(p["html"]).hexdigest()
+        (rec,) = parse_warc(bytes(blob[r["offset"]: r["offset"] + r["rec_length"]]))
+        assert rec["body"] == p["html"]
+    if not gz:
+        offs = [(r["offset"], r["rec_length"]) for r in idx]
+        assert offs[0][0] + sum(l for _, l in offs) == len(blob)
