@@ -166,6 +166,7 @@ def bench_queries():
         "length_quantiles": ("text", QE.QUERIES_EXT["length_quantiles"]),
         "bpe_merges": ("text", QE.QUERIES_EXT["bpe_merges"]),
         "bpe_encode": ("text", QE.QUERIES_EXT["bpe_encode"]),
+        "hits": ("graph", QE.QUERIES_EXT["hits"]),
     }
 
 

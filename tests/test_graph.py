@@ -97,3 +97,22 @@ def test_synth_links_shape(spark):
     assert all(0 <= r["dst"] < 10 for r in rows)
     odeg = e.groupBy("src").count().collect()
     assert all(r["count"] == 3 for r in odeg)
+
+
+def test_hits_hand_case(spark):
+    from tin_terrain_spark.operators.graph import hits
+
+    # 1 -> 3, 2 -> 3, 3 -> 1: node 3 is the authority for hubs 1,2
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1)], "src BIGINT, dst BIGINT"
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node BIGINT")
+    got = {r["node"]: (r["auth"], r["hub"]) for r in hits(edges, nodes, iters=2).collect()}
+    # hand iteration: h0=1 all.
+    # a1: a(3)=h(1)+h(2)=2, a(1)=h(3)=1, a(2)=0
+    # h1: h(1)=a(3)=2, h(2)=a(3)=2, h(3)=a(1)=1
+    # a2: a(3)=h1(1)+h1(2)=4, a(1)=h1(3)=1, a(2)=0
+    # h2: h(1)=a2(3)=4, h(2)=4, h(3)=a2(1)=1
+    assert got[3] == (4, 1)
+    assert got[1] == (1, 4)
+    assert got[2] == (0, 4)

@@ -187,3 +187,117 @@ def host_graph(links: DataFrame, src_url: str = "page_url",
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def hits(edges: DataFrame, nodes: DataFrame, iters: int = 5) -> DataFrame:
+    """HITS hub/authority scores, fixed iteration count, UNNORMALIZED
+    INTEGER form: h0 = 1; a_t(v) = Σ h_{t-1}(u) over in-edges,
+    h_t(u) = Σ a_t(v) over out-edges. Skipping the per-round
+    normalization keeps every score an exact BIGINT (growth ≈
+    (davg²)^iters — ~9^5 on the degree-3 synth graph, far from
+    overflow), which preserves the ranking per iteration and makes the
+    DuckDB twin bit-exact (no reduction-order float drift; the
+    classic normalized scores are score/max per side if a caller
+    wants them). Loop discipline as pagerank: edges partitioned once,
+    SHUFFLE_HASH per-round joins, eager per-round localCheckpoints.
+    Per-round shuffle volume O(|E|)."""
+    spark = edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = edges.repartition(n_part, "src").localCheckpoint()
+    hub = nodes.select(
+        "node", F.lit(1).cast("bigint").alias("hub")
+    ).localCheckpoint()
+    auth = None
+    for _ in range(iters):
+        a = (
+            e.join(
+                hub.select(F.col("node").alias("src"), "hub").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = (
+            nodes.join(
+                a.select(F.col("dst").alias("node"), "auth").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("auth"), F.lit(0)).cast("bigint").alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h = (
+            e.join(
+                auth.select(F.col("node").alias("dst"), "auth").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = (
+            nodes.join(
+                h.select(F.col("src").alias("node"), "hub").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("hub"), F.lit(0)).cast("bigint").alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return auth.join(hub, "node")
+
+
+def sql_hits(iters: int = 5) -> str:
+    """Unrolled DuckDB twin over the synth_links multigraph — exact
+    integer recursion, bit-equal by construction."""
+    m0, m1, m2 = LINK_MULTS
+    prev_h = "h0"
+    ctes = []
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+        SELECT n.node,
+               CAST(coalesce(s.v, 0) AS BIGINT) AS auth
+        FROM allnodes n LEFT JOIN (
+          SELECT e.dst AS node, sum(h.hub) AS v
+          FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+        ) s ON s.node = n.node
+      )""")
+        ctes.append(f"""h{t} AS (
+        SELECT n.node,
+               CAST(coalesce(s.v, 0) AS BIGINT) AS hub
+        FROM allnodes n LEFT JOIN (
+          SELECT e.src AS node, sum(a.auth) AS v
+          FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY e.src
+        ) s ON s.node = n.node
+      )""")
+        prev_h = f"h{t}"
+    joined = ",\n      ".join(ctes)
+    return f"""
+      WITH params AS (SELECT count(*) AS ni FROM documents),
+      edges AS (
+        SELECT doc_id AS src, dst FROM documents, params,
+        LATERAL (SELECT unnest([
+          (doc_id * {m0} + 1) % ni,
+          (doc_id * {m1} + 2) % ni,
+          (doc_id * {m2} + 3) % ni
+        ]) AS dst) l
+      ),
+      allnodes AS (SELECT doc_id AS node FROM documents),
+      h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM allnodes),
+      {joined}
+      SELECT a.node AS doc_id, a.auth, h.hub
+      FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+    """

@@ -2535,3 +2535,28 @@ def _sql_bpe_encode(k: int = 6) -> str:
 
 QUERIES_EXT["bpe_encode"] = q_bpe_encode
 ORACLES_EXT["bpe_encode"] = _sql_bpe_encode()
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority (graph.hits) over the deterministic 3-out
+    multigraph: 5 unnormalized integer iterations — exact BIGINT
+    scores, bit-equal to the unrolled DuckDB recursion."""
+    from .operators import graph as G
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    edges = G.synth_links(docs, n)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return G.hits(edges, nodes).select(
+        F.col("node").alias("doc_id"), "auth", "hub"
+    )
+
+
+def _sql_hits() -> str:
+    from .operators.graph import sql_hits
+
+    return sql_hits()
+
+
+QUERIES_EXT["hits"] = q_hits
+ORACLES_EXT["hits"] = _sql_hits()
