@@ -202,3 +202,60 @@ def test_bpe_merges_hand_case(spark):
     assert got[1] == (2, "lo", "w", 8)
     # round 3: (low,e)x3 wins
     assert got[2] == (3, "low", "e", 3)
+
+
+def test_discovery_to_frontier_composes(spark):
+    """Crawl-side e2e: sitemap tree discovery → robots policy →
+    politeness schedule."""
+    from tin_terrain_spark.operators.robots import (
+        expand_sitemap_tree,
+        frontier_schedule,
+        robots_filter,
+        robots_rules,
+    )
+
+    idx = (
+        '<sitemapindex><sitemap><loc>https://s.org/m0.xml</loc></sitemap>'
+        "<sitemap><loc>https://s.org/m1.xml</loc></sitemap></sitemapindex>"
+    )
+
+    def urlset(paths):
+        urls = "".join(f"<url><loc>https://s.org{p}</loc></url>" for p in paths)
+        return f"<urlset>{urls}</urlset>"
+
+    files = spark.createDataFrame(
+        [
+            ("https://s.org/sitemap.xml", idx),
+            ("https://s.org/m0.xml", urlset(["/a/1", "/a/2", "/private/x"])),
+            ("https://s.org/m1.xml", urlset(["/b/1", "/private/y"])),
+        ],
+        "sitemap_url STRING, sitemap_xml STRING",
+    )
+    leaves = expand_sitemap_tree(files).filter(
+        F.col("root_url") == "https://s.org/sitemap.xml"
+    )
+    pages = leaves.select(
+        F.col("loc").alias("url"),
+        F.lit("s.org").alias("host"),
+        F.regexp_replace("loc", "https://s.org", "").alias("path"),
+    )
+    rules = robots_rules(
+        spark.createDataFrame(
+            [("s.org", "User-agent: *\nDisallow: /private/")],
+            "host STRING, robots_txt STRING",
+        )
+    )
+    allowed = robots_filter(pages, rules).filter("allowed")
+    plan = frontier_schedule(
+        allowed.withColumn("crawl_delay", F.lit(2)), priority_col=None,
+        base_epoch=1000,
+    )
+    rows = sorted(
+        (r["url"], r["fetch_epoch"]) for r in plan.collect()
+    )
+    # /private/* never scheduled; 3 allowed urls spaced 2s on one host
+    assert rows == [
+        ("https://s.org/a/1", 1000),
+        ("https://s.org/a/2", 1002),
+        ("https://s.org/b/1", 1004),
+    ]
