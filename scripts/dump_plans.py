@@ -97,6 +97,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         "boilerplate_lines": QE.QUERIES_EXT["boilerplate_lines"],
         "host_graph": QE.QUERIES_EXT["host_graph"],
         "incr_dedup": QE.QUERIES_EXT["incr_dedup"],
+        # bpe_encode's final plan reads the per-round localCheckpoints
+        # (loop discipline); the encode itself is one hash join + one
+        # agg. hits likewise shows the checkpointed round outputs.
+        "bpe_encode": QE.QUERIES_EXT["bpe_encode"],
+        "hits": QE.QUERIES_EXT["hits"],
     }
     from bench import bench_queries
 

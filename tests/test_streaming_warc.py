@@ -65,3 +65,37 @@ def test_stream_equals_batch_and_is_incremental(spark, tmp_path_factory):
         assert {r["doc_id"] for r in second} == set(range(25))
     finally:
         q.stop()
+
+
+def test_stream_cdx_equals_batch(spark, tmp_path_factory):
+    from tin_terrain_spark.sources.warc import warc_cdx
+    from tin_terrain_spark.streaming.ingest import stream_warc_cdx
+
+    landing = str(tmp_path_factory.mktemp("cdx_landing"))
+    with open(os.path.join(landing, "a.warc"), "wb") as f:
+        f.write(build_warc(_pages(0, 8)))
+    with open(os.path.join(landing, "b.warc.gz"), "wb") as f:
+        f.write(build_warc(_pages(8, 14), gzip_records=True))
+
+    q = (
+        stream_warc_cdx(spark, landing)
+        .writeStream.format("memory")
+        .queryName("cdx_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM cdx_stream").collect()
+        batch_files = spark.read.format("binaryFile").load(landing)
+        want = warc_cdx(batch_files, id_col="path", id_type="STRING").collect()
+        key = lambda r: (r["path"], r["rec_offset"])
+        assert sorted(map(key, got)) == sorted(map(key, want))
+        assert len(got) == 14 and all(r["seek_ok"] for r in got)
+
+        with open(os.path.join(landing, "c.warc"), "wb") as f:
+            f.write(build_warc(_pages(14, 17)))
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) c FROM cdx_stream").first()["c"] == 17
+    finally:
+        q.stop()

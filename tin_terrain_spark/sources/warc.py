@@ -298,21 +298,23 @@ WARC_CDX_SCHEMA = (
 
 
 def warc_cdx(files: DataFrame, content_col: str = "content",
-             id_col: str = "file_id") -> DataFrame:
+             id_col: str = "file_id", id_type: str = "BIGINT") -> DataFrame:
     """Distributed CDX build: one row per response record with its
     byte span in the stored file. Map-only mapInPandas like the scan —
     at 100 TB the index job is one pass over the archive, and the
     output (a few hundred bytes/record) is what interactive lookups
     hit instead of the archive itself."""
 
+    id_cast = int if id_type.upper() == "BIGINT" else str
+
     def op(batches):
         for pdf in batches:
             out = {k: [] for k in (
-                "file_id", "url", "warc_epoch", "rec_offset",
+                id_col, "url", "warc_epoch", "rec_offset",
                 "rec_length", "digest", "seek_ok")}
             for fid, blob in zip(pdf[id_col], pdf[content_col]):
                 for r in index_warc(bytes(blob)):
-                    out["file_id"].append(int(fid))
+                    out[id_col].append(id_cast(fid))
                     out["url"].append(r["url"])
                     out["warc_epoch"].append(r["epoch"])
                     out["rec_offset"].append(r["offset"])
@@ -321,7 +323,8 @@ def warc_cdx(files: DataFrame, content_col: str = "content",
                     out["seek_ok"].append(r["seek_ok"])
             yield pd.DataFrame(out)
 
-    return files.select(id_col, content_col).mapInPandas(op, WARC_CDX_SCHEMA)
+    schema = WARC_CDX_SCHEMA.replace("file_id BIGINT", f"{id_col} {id_type}")
+    return files.select(id_col, content_col).mapInPandas(op, schema)
 
 
 WARC_FILE_SCHEMA = "file_id BIGINT, n_records INT, content BINARY"

@@ -57,3 +57,25 @@ def stream_warc_extract(
     return extract_html(
         pages, keep_cols=("url", "warc_epoch", "http_status")
     )
+
+
+def stream_warc_cdx(
+    spark: SparkSession, landing_dir: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Streaming CDX maintenance: as WARC files land, append their
+    random-access index rows (path-keyed byte spans + digests) —
+    stateless map-only like the ingest, so the index table stays
+    current with the archive without any batch re-scan. The batch
+    `warc_cdx` and this stream share the kernel; replay equality is
+    the test contract."""
+    from ..sources.warc import warc_cdx
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"
+        )
+        .option("pathGlobFilter", glob)
+        .load(landing_dir)
+    )
+    return warc_cdx(files, id_col="path", id_type="STRING")
