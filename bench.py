@@ -167,6 +167,7 @@ def bench_queries():
         "bpe_merges": ("text", QE.QUERIES_EXT["bpe_merges"]),
         "bpe_encode": ("text", QE.QUERIES_EXT["bpe_encode"]),
         "hits": ("graph", QE.QUERIES_EXT["hits"]),
+        "robots_meta": ("text", QE.QUERIES_EXT["robots_meta"]),
     }
 
 

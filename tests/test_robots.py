@@ -187,3 +187,54 @@ def test_expand_sitemap_tree(spark):
     # dangling child reference dropped, no leaf under missing.xml
     assert not any(loc == "https://x.org/missing.xml" for _, loc in got)
     assert len(got) == 5  # {a,b} under two roots + c
+
+
+def test_parse_robots_meta_kernel():
+    from tin_terrain_spark.operators.robots import parse_robots_meta
+
+    txt = """# policy
+Sitemap: https://x.org/sitemap.xml
+User-agent: *
+Crawl-delay: 2
+Disallow: /tmp
+
+User-agent: tinbot-crawler
+Crawl-delay: 0.5
+Allow: /
+
+Sitemap: https://x.org/news.xml
+"""
+    star = parse_robots_meta(txt, agent="otherbot")
+    assert star["crawl_delay"] == 2.0
+    assert star["sitemaps"] == [
+        "https://x.org/sitemap.xml", "https://x.org/news.xml",
+    ]
+    specific = parse_robots_meta(txt, agent="tinbot-crawler/1.0")
+    assert specific["crawl_delay"] == 0.5
+    none = parse_robots_meta("User-agent: *\nDisallow: /x\n")
+    assert none["crawl_delay"] is None and none["sitemaps"] == []
+    bad = parse_robots_meta("User-agent: *\nCrawl-delay: soon\n")
+    assert bad["crawl_delay"] is None
+
+
+def test_robots_meta_distributed(spark):
+    from tin_terrain_spark.operators.robots import robots_meta
+
+    df = spark.createDataFrame(
+        [
+            ("a.org", "User-agent: *\nCrawl-delay: 3\n"
+                      "Sitemap: https://a.org/s1.xml\n"
+                      "Sitemap: https://a.org/s2.xml\n"),
+            ("b.org", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host STRING, robots_txt STRING",
+    )
+    got = sorted(
+        (r["host"], r["crawl_delay"], r["sitemap_url"])
+        for r in robots_meta(df).collect()
+    )
+    assert got == [
+        ("a.org", 3.0, "https://a.org/s1.xml"),
+        ("a.org", 3.0, "https://a.org/s2.xml"),
+        ("b.org", None, None),
+    ]

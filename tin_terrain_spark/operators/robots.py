@@ -348,3 +348,94 @@ def expand_sitemap_tree(
             .select("root_url", "_xml", "depth")
         )
     return leaves
+
+
+ROBOTS_META_SCHEMA = (
+    "host STRING, crawl_delay DOUBLE, sitemap_url STRING"
+)
+
+
+def parse_robots_meta(text: str, agent: str = "*") -> dict:
+    """Extract the non-rule metadata of a robots.txt: the applicable
+    group's Crawl-delay (seconds, float; the de-facto extension most
+    crawlers honor) and every Sitemap: url (Sitemap lines are
+    group-independent per the REP). Returns
+    {crawl_delay: float|None, sitemaps: [url, ...]}."""
+    sitemaps: list[str] = []
+    groups: list[tuple[list[str], float | None]] = []
+    cur_agents: list[str] = []
+    cur_delay: float | None = None
+    agents_open = False
+
+    def flush():
+        nonlocal cur_agents, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_delay))
+        cur_agents, cur_delay = [], None
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not agents_open:
+                flush()
+                agents_open = True
+            cur_agents.append(value.lower())
+        elif field == "sitemap":
+            # group-independent; keep raw url (value may contain ':')
+            if value:
+                sitemaps.append(value)
+        else:
+            agents_open = False
+            if field == "crawl-delay":
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+    flush()
+
+    agent_l = agent.lower()
+    best: tuple[int, float | None] | None = None
+    for agents, delay in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif a and a in agent_l:
+                score = len(a)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, delay)
+    return {
+        "crawl_delay": None if best is None else best[1],
+        "sitemaps": sitemaps,
+    }
+
+
+def robots_meta(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, robots_txt) → per-host crawl metadata: one row per
+    discovered sitemap url (or a single NULL-sitemap row when none),
+    each carrying the applicable group's crawl_delay. Feeds
+    frontier_schedule (delay) and expand_sitemap_tree (roots) — the
+    missing edge between the policy file and the politeness/discovery
+    operators. Map-only Arrow stage like robots_rules."""
+
+    def op(batches):
+        for pdf in batches:
+            hosts, delays, sms = [], [], []
+            for host, txt in zip(pdf["host"], pdf["robots_txt"]):
+                meta = parse_robots_meta(str(txt), agent)
+                targets = meta["sitemaps"] or [None]
+                for sm in targets:
+                    hosts.append(host)
+                    delays.append(meta["crawl_delay"])
+                    sms.append(sm)
+            yield pd.DataFrame(
+                {"host": hosts, "crawl_delay": delays, "sitemap_url": sms}
+            )
+
+    return robots.select("host", "robots_txt").mapInPandas(op, ROBOTS_META_SCHEMA)

@@ -2560,3 +2560,58 @@ def _sql_hits() -> str:
 
 QUERIES_EXT["hits"] = q_hits
 ORACLES_EXT["hits"] = _sql_hits()
+
+
+def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt metadata extraction (robots.robots_meta): per-host
+    Crawl-delay (the number frontier_schedule consumes) and Sitemap
+    pointers (the roots expand_sitemap_tree consumes) — one row per
+    discovered sitemap; hosts with hn % 3 == 0 declare a second one.
+    Closed-form oracle rebuilds both."""
+    from .operators import robots as R
+    from .operators.urlops import N_HOSTS
+
+    hosts = (
+        U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+        .select("host", (F.col("doc_id") % N_HOSTS).alias("hn"))
+        .distinct()
+    )
+    txt = F.concat(
+        F.lit("User-agent: *\nCrawl-delay: "),
+        (F.col("hn") % 5 + 1).cast("string"),
+        F.lit("\nDisallow: /private/\nSitemap: https://"),
+        F.col("host"),
+        F.lit("/sitemap.xml\n"),
+        F.when(
+            F.col("hn") % 3 == 0,
+            F.concat(
+                F.lit("Sitemap: https://"), F.col("host"), F.lit("/news.xml\n")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return R.robots_meta(hosts.select("host", txt.alias("robots_txt")))
+
+
+def _sql_robots_meta() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH h AS (
+        SELECT DISTINCT
+               source || '-' || CAST(doc_id % {N_HOSTS} AS VARCHAR)
+                 || '.example.org' AS host,
+               doc_id % {N_HOSTS} AS hn
+        FROM documents
+      )
+      SELECT host, CAST(hn % 5 + 1 AS DOUBLE) AS crawl_delay,
+             'https://' || host || '/sitemap.xml' AS sitemap_url
+      FROM h
+      UNION ALL
+      SELECT host, CAST(hn % 5 + 1 AS DOUBLE),
+             'https://' || host || '/news.xml'
+      FROM h WHERE hn % 3 = 0
+    """
+
+
+QUERIES_EXT["robots_meta"] = q_robots_meta
+ORACLES_EXT["robots_meta"] = _sql_robots_meta()
