@@ -173,7 +173,7 @@ def bench_queries():
 
 def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: int = 6,
                 knn_zoom: int | None = None, knn_grid_bits: int | None = None,
-                cc_chains: int = 2048):
+                cc_chains: int = 2048, dedup_mult: int = 8):
     """The N-vs-4N scaling workload: compute-bound, fixed input.
 
     Replicates the documents table `mult`x with fresh page ids (the
@@ -242,6 +242,31 @@ def scaling_job(spark, sf_dir: str, mult: int = 256, zoom: int = 7, grid_bits: i
         .count()
     )
     phases["cell_agg"] = round(_time.time() - t0, 3)
+
+    # webtext phase (the charter's payload): minhash band-key build —
+    # the storable LSH dedup index — over dedup_mult x-replicated page
+    # TEXT (replicas keep the text: a dup-heavy web corpus, the
+    # realistic case). Shingle explode + md5 hashing + two map-side-
+    # combinable aggs in ONE action; CPU-bound like the mesh phase.
+    from tin_terrain_spark.operators.dedup import band_keys
+
+    t0 = _time.time()
+    docs_txt = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    big_txt = (
+        docs_txt.crossJoin(
+            spark.range(dedup_mult).withColumnRenamed("id", "rep")
+        )
+        .select(
+            (F.col("doc_id") * dedup_mult + F.col("rep")).alias("doc_id"),
+            "text",
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    dedup_rows = band_keys(big_txt).count()
+    phases["dedup_sig"] = round(_time.time() - t0, 3)
+    phases["dedup_rows"] = dedup_rows
 
     # connected components over a synthetic chain forest: `cc_chains`
     # chains of 257 vertices (diameter 256 = 2^8). Pointer jumping

@@ -34,7 +34,7 @@ cores = int(os.environ["SPARK_GRAFT_CPUS"])
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 spark = get_spark("scaling", cores=cores)
 # warm-up: compile plans + spawn the python worker pool
-scaling_job(spark, sf_dir, mult=2, zoom=3, cc_chains=64)
+scaling_job(spark, sf_dir, mult=2, zoom=3, cc_chains=64, dedup_mult=1)
 # min-of-3 within one session (bench.py's steady-state policy): this
 # host's CPU steal swings identical runs by +-50%
 walls, phs = [], []
@@ -42,7 +42,7 @@ for _ in range(3):
     spark.catalog.clearCache()
     t0 = time.time()
     tiles, knn_rows, agg_rows, phases = scaling_job(
-        spark, sf_dir, mult=512, zoom=10, grid_bits=5, knn_zoom=7, knn_grid_bits=5)
+        spark, sf_dir, mult=512, zoom=10, grid_bits=5, knn_zoom=7, knn_grid_bits=5, dedup_mult=64)
     walls.append(round(time.time() - t0, 3))
     phs.append(phases)
 wall = min(walls)
@@ -51,7 +51,8 @@ phases = {k: min(p[k] for p in phs) for k in phs[0]}
 # is a ~10-action iterative driver loop — its wall is coordination +
 # cache churn at sandbox scale, reported as its own row (cc_rounds is
 # the O(log d) witness; the rounds and outputs must MATCH across legs)
-core_wall = round(phases["mesh_terra"] + phases["knn"] + phases["cell_agg"], 3)
+core_wall = round(phases["mesh_terra"] + phases["knn"] + phases["cell_agg"]
+                  + phases["dedup_sig"], 3)
 print(json.dumps({"cores": cores, "wall": wall, "walls": walls, "tiles": tiles,
                   "knn_rows": knn_rows, "agg_rows": agg_rows,
                   "phases": phases, "core_wall": core_wall,
@@ -130,7 +131,8 @@ def main():
 
 Identical compute-bound job (512x-replicated pages at {sf_dir} → ~25.6M
 points → zoom-10 terra tile pyramid (~1M occupied tiles) + cell-ring kNN join +
-cell aggregation at zoom-7 cells), run at two parallelism levels
+cell aggregation at zoom-7 cells + the webtext minhash band-key build
+over 64x-replicated page text), run at two parallelism levels
 N=local[2] and 4N=local[8], launched via `spark-submit --py-files` —
 the sandbox stand-in for N vs 4N executors. Each leg runs the job
 three times in one session; min wall and per-phase mins are reported
@@ -158,8 +160,9 @@ Calibration: 1p=132.9s, 2p=75.4s, 8p=19.0s (3.97x from 2p), 32p=6.0s
 | local[8] (4N) | {t_4n:.1f} | {r_4n["tiles_per_sec"]:.2f} | {r_4n["tiles"]} | {r_4n["knn_rows"]} | {json.dumps(r_4n["phases"])} |
 
 **Scaling efficiency** = (T_N / T_4N) / 4 = ({t_n:.1f} / {t_4n:.1f}) / 4 = **{eff:.3f}**
-over the compute-bound phases (mesh + knn + cell aggregation — each a
-single-action data-parallel job; target ≥ 0.8; values within a few % of
+over the compute-bound phases (mesh + knn + cell aggregation + the
+webtext minhash-LSH dedup-signature build over 64x-replicated
+page text — each a single-action data-parallel job; target ≥ 0.8; values within a few % of
 1.0 are measurement noise — this sandbox intermittently stalls stage
 launches, see NOTES.md).
 
@@ -178,7 +181,8 @@ minutes of data work and the coordination amortizes to zero.
 
 Identical outputs at both levels: tiles {r_n["tiles"]}=={r_4n["tiles"]},
 knn rows {r_n["knn_rows"]}=={r_4n["knn_rows"]}, agg rows
-{r_n["agg_rows"]}=={r_4n["agg_rows"]}, cc rounds
+{r_n["agg_rows"]}=={r_4n["agg_rows"]}, dedup signature rows
+{r_n["phases"]["dedup_rows"]}=={r_4n["phases"]["dedup_rows"]}, cc rounds
 {r_n["phases"]["cc_rounds"]}=={r_4n["phases"]["cc_rounds"]}.
 
 ## Single-core kernel throughput vs the reference (scripts/bench_kernel.py)
