@@ -168,6 +168,7 @@ def bench_queries():
         "bpe_encode": ("text", QE.QUERIES_EXT["bpe_encode"]),
         "hits": ("graph", QE.QUERIES_EXT["hits"]),
         "robots_meta": ("text", QE.QUERIES_EXT["robots_meta"]),
+        "anchor_text": ("graph", QE.QUERIES_EXT["anchor_text"]),
     }
 
 

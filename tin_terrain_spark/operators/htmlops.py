@@ -600,3 +600,34 @@ def synth_boilerplate_html(docs: DataFrame) -> DataFrame:
         F.lit("</p></body></html>"),
     )
     return docs.select("doc_id", F.encode(page, "UTF-8").alias("html"))
+
+
+def anchor_text(links: DataFrame, url_col: str = "link_url",
+                anchor_col: str = "anchor") -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-corpus
+    signal (anchor words describe the TARGET page better than its own
+    text; query-independent relevance + link-spam features). Two
+    map-side-combinable aggs: per (target, anchor) counts, then per
+    target pick the most-frequent anchor (ties: lexicographically
+    smallest) plus reference/diversity counts. No UDF, no window."""
+    per_anchor = (
+        links.groupBy(url_col, anchor_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        per_anchor.groupBy(url_col)
+        .agg(
+            F.sum("_c").alias("n_refs"),
+            F.count(F.lit(1)).alias("n_distinct_anchors"),
+            F.min(
+                F.struct((-F.col("_c")).alias("nc"), F.col(anchor_col))
+            ).alias("_top"),
+        )
+        .select(
+            url_col,
+            "n_refs",
+            "n_distinct_anchors",
+            F.col(f"_top.{anchor_col}").alias("top_anchor"),
+            (-F.col("_top.nc")).alias("top_anchor_refs"),
+        )
+    )

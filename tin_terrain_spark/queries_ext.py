@@ -2615,3 +2615,70 @@ def _sql_robots_meta() -> str:
 
 QUERIES_EXT["robots_meta"] = q_robots_meta
 ORACLES_EXT["robots_meta"] = _sql_robots_meta()
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus (htmlops.anchor_text): each page links to
+    doc (doc_id*7+1) % n with anchor 'topic {doc_id % 3}' — REAL HTML
+    through the full-DOM link collector, then per-target aggregation
+    (most-frequent anchor, tie lexical; ref + diversity counts).
+    Closed-form oracle rebuilds targets and anchor classes
+    arithmetically."""
+    from .operators import htmlops as H
+    from .operators.urlops import N_HOSTS
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    tgt = (F.col("doc_id") * 7 + 1) % n
+    html = F.encode(
+        F.concat(
+            F.lit('<html><body><p>intro</p><a href="https://'),
+            F.col("source"),
+            F.lit("-"),
+            (tgt % N_HOSTS).cast("string"),
+            F.lit(".example.org/doc/"),
+            tgt.cast("string"),
+            F.lit('">topic '),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("</a></body></html>"),
+        ),
+        "UTF-8",
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return H.anchor_text(H.extract_links(pages))
+
+
+def _sql_anchor_text() -> str:
+    from .operators.urlops import N_HOSTS
+
+    return f"""
+      WITH params AS (SELECT count(*) AS n FROM documents),
+      links AS (
+        SELECT 'https://' || source || '-'
+                 || CAST(((doc_id * 7 + 1) % n) % {N_HOSTS} AS VARCHAR)
+                 || '.example.org/doc/'
+                 || CAST((doc_id * 7 + 1) % n AS VARCHAR) AS link_url,
+               'topic ' || CAST(doc_id % 3 AS VARCHAR) AS anchor
+        FROM documents, params
+      ),
+      pa AS (
+        SELECT link_url, anchor, count(*) AS c
+        FROM links GROUP BY link_url, anchor
+      )
+      SELECT link_url, CAST(n_refs AS BIGINT) AS n_refs,
+             n_distinct_anchors, anchor AS top_anchor,
+             CAST(c AS BIGINT) AS top_anchor_refs
+      FROM (
+        SELECT link_url, anchor, c,
+               sum(c) OVER (PARTITION BY link_url) AS n_refs,
+               count(*) OVER (PARTITION BY link_url)
+                 AS n_distinct_anchors,
+               row_number() OVER (
+                 PARTITION BY link_url ORDER BY c DESC, anchor) AS rn
+        FROM pa
+      ) WHERE rn = 1
+    """
+
+
+QUERIES_EXT["anchor_text"] = q_anchor_text
+ORACLES_EXT["anchor_text"] = _sql_anchor_text()
