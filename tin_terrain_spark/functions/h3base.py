@@ -195,8 +195,98 @@ def _rot_steps(frm: int, to: int) -> int:
     raise AssertionError(f"digits {frm}->{to} not connected by rot60")
 
 
+_TABLES_ARTIFACT = "h3_base_tables.json"
+
+
 @lru_cache(maxsize=1)
 def derive_base_cells() -> BaseCellTables:
+    """Base-cell tables: loaded from the packaged frozen artifact
+    (h3_base_tables.json) when present, else derived numerically.
+
+    The artifact exists because the numeric derivation, while
+    deterministic WITHIN an environment, proved sensitive to the
+    CPU's vectorized-transcendental ULPs ACROSS environments (round 6
+    found two lookup_rot entries flipped vs the round-5 freeze after a
+    host change — same code, same data). Freezing the tables once
+    makes every id the engine ever mints stable, and saves the ~1.3 s
+    per-Python-worker derivation cost on the encode path. The
+    structural invariants (census, totality, roundtrips) are
+    re-validated against the loaded artifact by tests/test_h3global.py,
+    and scripts/freeze_h3_tables.py regenerates it from
+    _derive_base_cells_numeric()."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        _TABLES_ARTIFACT)
+    raw = None
+    if os.path.exists(path):
+        with open(path) as f:
+            raw = f.read()
+    else:  # zip-deployed package (--py-files): read via pkgutil
+        try:
+            import pkgutil
+
+            data = pkgutil.get_data(__package__, _TABLES_ARTIFACT)
+            if data is not None:
+                raw = data.decode()
+        except Exception:
+            raw = None
+    if raw is not None:
+        d = json.loads(raw)
+        tabs = BaseCellTables(
+            lookup_bc=np.array(d["lookup_bc"], dtype=np.int16),
+            lookup_rot=np.array(d["lookup_rot"], dtype=np.int8),
+            bc_home_face=np.array(d["bc_home_face"], dtype=np.int8),
+            bc_home_ijk=np.array(d["bc_home_ijk"], dtype=np.int8),
+            bc_home_rot=np.array(d["bc_home_rot"], dtype=np.int8),
+            bc_is_pentagon=np.array(d["bc_is_pentagon"], dtype=bool),
+            bc_faces=tuple(tuple(f) for f in d["bc_faces"]),
+            bc_center=np.array(d["bc_center"], dtype=np.float64),
+            derived=True,
+            bc_rep_count=np.array(d["bc_rep_count"], dtype=np.int8),
+            bc_rep_face=np.array(d["bc_rep_face"], dtype=np.int8),
+            bc_rep_ijk=np.array(d["bc_rep_ijk"], dtype=np.int8),
+            bc_rep_rot=np.array(d["bc_rep_rot"], dtype=np.int8),
+        )
+        assert tabs.lookup_bc.shape == (540,) and \
+            int((tabs.lookup_bc >= 0).sum()) == 380 and \
+            sorted(set(tabs.lookup_bc[tabs.lookup_bc >= 0].tolist())) == \
+            list(range(122)), "corrupt h3 base-cell artifact"
+        return tabs
+    return _derive_base_cells_numeric()
+
+
+def save_tables_artifact(path: str | None = None) -> str:
+    """Write the numerically derived tables to the packaged artifact
+    (scripts/freeze_h3_tables.py calls this)."""
+    import json
+    import os
+
+    t = _derive_base_cells_numeric()
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            _TABLES_ARTIFACT)
+    d = {
+        "lookup_bc": t.lookup_bc.tolist(),
+        "lookup_rot": t.lookup_rot.tolist(),
+        "bc_home_face": t.bc_home_face.tolist(),
+        "bc_home_ijk": t.bc_home_ijk.tolist(),
+        "bc_home_rot": t.bc_home_rot.tolist(),
+        "bc_is_pentagon": t.bc_is_pentagon.tolist(),
+        "bc_faces": [list(f) for f in t.bc_faces],
+        "bc_center": t.bc_center.tolist(),
+        "bc_rep_count": t.bc_rep_count.tolist(),
+        "bc_rep_face": t.bc_rep_face.tolist(),
+        "bc_rep_ijk": t.bc_rep_ijk.tolist(),
+        "bc_rep_rot": t.bc_rep_rot.tolist(),
+    }
+    with open(path, "w") as f:
+        json.dump(d, f)
+    return path
+
+
+def _derive_base_cells_numeric() -> BaseCellTables:
     # ---- 1. enumerate reachable res-0 positions ----------------------
     n = 200_000
     idx = np.arange(n)
