@@ -57,15 +57,23 @@ def tokens_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles_df(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+def shingles_df(docs: DataFrame, n: int = NGRAM,
+                distinct: bool = True) -> DataFrame:
     """Distinct n-gram token shingles per doc (the minhash input —
     SURVEY's shingle→minhash→band→bucket-join chain). Docs shorter than
     n tokens get ONE whole-doc shingle instead of dropping out, so a
     pair of verbatim short duplicates still shares a full signature
     (without this, near-dup detection silently excludes short docs and
-    only exact_dedup would catch them)."""
+    only exact_dedup would catch them).
+
+    distinct=False skips the per-doc dedup — a full shuffle of the
+    shingle STRINGS — for consumers whose aggregates are multiset-
+    invariant (MIN per hash function in minhash_signatures: duplicate
+    (doc, tok) rows cannot change a min). Set-semantics consumers
+    (Jaccard sizes/intersections, contamination rates) keep the
+    default."""
     idxs = ", ".join(f"toks[i + {j}]" for j in range(n))
-    return (
+    out = (
         tokens_df(docs)
         .select(
             "doc_id",
@@ -78,8 +86,8 @@ def shingles_df(docs: DataFrame, n: int = NGRAM) -> DataFrame:
                 ).otherwise(F.array(F.concat_ws(" ", F.col("toks"))))
             ).alias("tok"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def sql_shingles(n: int = NGRAM) -> str:
@@ -109,8 +117,16 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def doc_token_ids(docs: DataFrame) -> DataFrame:
     """(doc_id, tok_id) from the fixed string hash — one narrow scan,
-    no vocabulary state of any kind."""
-    return shingles_df(docs).select("doc_id", _tok_hash(F.col("tok")).alias("tok_id"))
+    no vocabulary state of any kind. Feeds ONLY min-aggregates
+    (minhash_signatures), so the shingle stream skips the distinct:
+    min over the multiset equals min over the set, and dropping the
+    dedup removes a full shuffle of shingle strings plus its pre-agg
+    from every signature build (guide §2.4 "a distinct on data that is
+    already unique" — here, a distinct whose consumer is
+    duplicate-insensitive)."""
+    return shingles_df(docs, distinct=False).select(
+        "doc_id", _tok_hash(F.col("tok")).alias("tok_id")
+    )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:

@@ -25,7 +25,21 @@ GRID_BITS = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """documents table, spread across the session's cores.
+
+    The test-scale documents.parquet is one small single-row-group
+    file, so the scan yields ONE partition and everything upstream of
+    the first shuffle — shingle explodes, md5 hashing, Arrow/Python
+    map stages — runs on one core out of 32 (measured: main_text 9.3 s
+    at sf1.0, ≈ 50k docs x 0.2 ms single-threaded). One cheap exchange
+    of the tiny rows here (hash on doc_id: deterministic, no
+    sort-before-repartition) unlocks the full map-side parallelism for
+    every consumer (guide §2.5 "input skew: one unsplittable file —
+    repartition immediately after the read"). At cluster scale the
+    input arrives in many splits and the same repartition is a cheap
+    rebalance sized by spark.default.parallelism."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def _points_sql(id_col: str = "doc_id", zoom: int = ZOOM) -> str:

@@ -289,11 +289,21 @@ def q_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.sample_profile(_docs(spark, sf_dir))
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table, spread across cores: the single-row-group
+    test file scans as ONE partition, and the SRP/L2 higher-order-
+    function projections that follow are the most CPU-expensive
+    per-row JVM work in the catalog — one cheap exchange here unlocks
+    32x map parallelism for every ANN query (same rationale as
+    queries._docs)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (charter dedup method #5):
     capped SRP buckets → exact cosine ≥ 0.35."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.embed_near_dup(emb)
+    return S.embed_near_dup(_emb(spark, sf_dir))
 
 
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,19 +333,16 @@ SQL_LANG_PROFILE = """
 
 
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ann_brute(emb)
+    return S.ann_brute(_emb(spark, sf_dir))
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ann_lsh(emb)
+    return S.ann_lsh(_emb(spark, sf_dir))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN (deterministic seeded Lloyd quantizer)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ann_ivf(emb)
+    return S.ann_ivf(_emb(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -369,6 +369,12 @@ def synth_warc_files(
     keyed = pages.withColumn(
         "file_id", F.floor(F.col(id_col) / docs_per_file).cast("bigint")
     )
+    # pin the pack kernel's parallelism: an explicit repartition on the
+    # group key (reused by the groupBy — no second exchange) keeps AQE
+    # from coalescing the small shuffle ahead of this CPU-bound Python
+    # stage down to a handful of partitions (NOTES.md environment facts)
+    n_part = pages.sparkSession.sparkContext.defaultParallelism
+    keyed = keyed.repartition(n_part, "file_id")
     return keyed.groupBy("file_id").applyInPandas(pack, WARC_FILE_SCHEMA)
 
 
