@@ -162,7 +162,13 @@ def lsh_candidates(docs: DataFrame, bands: int = 4, bucket_cap: int = BUCKET_CAP
     with the bucket's min doc_id. That is O(bucket) rows, keeps the
     whole cluster connected for union-find style dedup (the densest
     duplicate clusters are exactly what dedup must not lose), and is
-    mirrored exactly in the DuckDB oracle."""
+    mirrored exactly in the DuckDB oracle.
+
+    The sized band-key table feeds THREE plan branches (pair join
+    left/right + the hot-bucket star); Catalyst reuses none of them
+    (plan audit: the whole shingle->minhash->band subtree appeared 3x,
+    zero ReusedExchange), so it is persisted for the call — 4 narrow
+    rows per doc, released by bench/gate clearCache or the caller."""
     from pyspark.sql import Window as W
 
     rows_per_band = len(MINHASH_FUNCS) // bands
@@ -177,7 +183,7 @@ def lsh_candidates(docs: DataFrame, bands: int = 4, bucket_cap: int = BUCKET_CAP
     wb = W.partitionBy("band", "band_key")
     band_key = band_key.withColumn("_bsz", F.count(F.lit(1)).over(wb)).withColumn(
         "_bmin", F.min("doc_id").over(wb)
-    )
+    ).persist()
     small = band_key.filter(F.col("_bsz") <= bucket_cap)
     a = small.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = small.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -192,9 +198,15 @@ def lsh_candidates(docs: DataFrame, bands: int = 4, bucket_cap: int = BUCKET_CAP
 
 def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact shingle-set Jaccard (n-gram Jaccard) refine over the LSH
-    candidates — the same shingle universe the minhash estimates."""
+    candidates — the same shingle universe the minhash estimates.
+
+    The distinct shingle table feeds three branches (both join sides +
+    the size aggregate) with no Catalyst subtree reuse across them, so
+    it is persisted for the call (released by clearCache / unpersist),
+    computing the explode+distinct shuffle once instead of three
+    times."""
     cand = lsh_candidates(docs)
-    tok_sets = shingles_df(docs)
+    tok_sets = shingles_df(docs).persist()
     sizes = tok_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ta = tok_sets.withColumnRenamed("doc_id", "doc_a")
     tb = tok_sets.withColumnRenamed("doc_id", "doc_b")

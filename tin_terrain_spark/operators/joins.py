@@ -125,11 +125,19 @@ def _density_ring(pts: DataFrame, k: int, cell_m: float,
     one aggregate over the points (count + xy bounding box) gives the
     areal density; the ring radius is chosen so the guarantee circle
     (the distance below which nothing outside the ring can lie) is
-    expected to hold ~32x k points. An under-estimate only costs an
+    expected to hold ~8x k points. An under-estimate only costs an
     extra round (the guarantee check stays exact); an over-estimate
     only widens the candidate window. Returns None when the corpus is
     so small (n <= 32k) or so degenerate (zero-area bbox) that the
     brute crossJoin is the right plan outright.
+
+    The factor was 32x k with a ring floor of 2 through round 5;
+    measured at sf1.0 (1.44M points, 160k queries, ~22 points/cell)
+    that yielded ring 2 -> 550 candidates per query for k = 5 — an
+    88M-row candidate join where the 8x sizing picks ring 1 (~200
+    candidates) and still leaves ~14x k points expected inside the
+    guarantee circle; rare misses re-run at ring*4 for the handful of
+    unresolved queries only.
 
     The denominator is the COVERED AREA, not the occupied-cell count:
     on sparse grids (most cells empty) occupied-cell density
@@ -152,22 +160,22 @@ def _density_ring(pts: DataFrame, k: int, cell_m: float,
     area = dx * dy
     span = max(dx, dy)
     if area > 0.0:
-        g = math.sqrt(32.0 * k * area / (math.pi * n))  # guarantee radius, m
+        g = math.sqrt(8.0 * k * area / (math.pi * n))  # guarantee radius, m
     elif span > 0.0:
         # degenerate (collinear) corpus: 1-D density — expected k-th
         # distance ~ span * k / n; the brute crossJoin would be the
         # |points| x |queries| scale-killer exactly here
-        g = 32.0 * k * span / n
+        g = 8.0 * k * span / n
     else:
-        # every point identical: any ring >= 2 covers the whole corpus
-        return 2
+        # every point identical: any ring >= 1 covers the whole corpus
+        return 1
     if geometry == "square":
         # square-grid guarantee: R * cell_m  =>  R >= g / cell_m
         ring = int(math.ceil(g / cell_m))
     else:
         # hex staircase guarantee: (1.5 (R+1) - 2) * s  >=  g
         ring = int(math.ceil((g / cell_m + 2.0) / 1.5 - 1.0))
-    return max(2, ring)
+    return max(1, ring)
 
 
 def _knn_rounds(pts: DataFrame, q: DataFrame, k: int, initial_ring: int,
@@ -246,7 +254,8 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
              k: int = 5, initial_ring: int | None = None,
              repartition_to: int | None = None,
              max_ring_rounds: int = 3,
-             cell_join: str = "broadcast") -> DataFrame:
+             cell_join: str = "broadcast",
+             cache_inputs: bool = True) -> DataFrame:
     """J6 scale path: iterative ring join on the cell grid, exact brute
     fallback only for queries no ring round resolves.
 
@@ -270,6 +279,16 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
         box predicate against every point row); both sides shuffle on
         the cell key, partial work scales with |q|·ball + |points|.
     Both shapes are exact and hash-equal to knn_brute (tested).
+
+    cache_inputs (default True) persists the points/queries
+    projections for the DURATION OF THE CALL (released by the same
+    unpersist pass as the per-round caches): the points side is read
+    by the density aggregate AND by every ring round, the query side
+    by every round's ball build — without the cache an expensive
+    upstream subtree (a geocode chain, a replicated corpus) re-executes
+    per consumer. Callers whose points side is too large to cache
+    (10^12-row cluster scans, where two streaming passes beat one
+    materialization) pass cache_inputs=False.
     """
     if cell_join not in ("broadcast", "shuffle"):
         raise ValueError(f"cell_join must be broadcast|shuffle, not {cell_join!r}")
@@ -288,13 +307,19 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
         F.col("cell_x").alias("qcx"),
         F.col("cell_y").alias("qcy"),
     )
+    persists: tuple = ()
+    if cache_inputs:
+        pts = pts.persist()
+        q = q.persist()
+        persists = (pts, q)
 
     if initial_ring is None:
         initial_ring = _density_ring(pts, k, cell_m, "square")
         if initial_ring is None:  # tiny/degenerate corpus: brute IS the plan
-            return knn_brute(
+            out = knn_brute(
                 pts, q.select("q_id", F.col("qx").alias("x"), F.col("qy").alias("y")), k
             )
+            return _finalize_rounds(out, list(persists))
 
     def cand_fn(pts_r, remaining, ring):
         if cell_join == "shuffle":
@@ -325,7 +350,7 @@ def knn_ring(points: DataFrame, queries: DataFrame, zoom: int, grid_bits: int,
 
     return _knn_rounds(
         pts, q, k, initial_ring, max_ring_rounds,
-        cand_fn, lambda r: r * cell_m, pts_persists=(), brute_pts=pts,
+        cand_fn, lambda r: r * cell_m, pts_persists=persists, brute_pts=pts,
     )
 
 
@@ -493,10 +518,13 @@ def knn_hex(points: DataFrame, queries: DataFrame, hex_size: float,
         persists = (pts,)
     else:
         pts = HG.with_hex_cell(pts, hex_size)
+    # the query side is small by contract and read by every round's
+    # ball build — cache it for the call like knn_ring's cache_inputs
     q = HG.with_hex_cell(
         queries.select("q_id", F.col("x").alias("qx"), F.col("y").alias("qy")),
         hex_size, x="qx", y="qy", q_col="qhq", r_col="qhr",
-    )
+    ).persist()
+    persists = persists + (q,)
 
     if initial_ring is None:
         initial_ring = _density_ring(pts, k, hex_size, "hex")

@@ -744,6 +744,14 @@ def _bpe_learn(docs: DataFrame, k: int, text_col: str):
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
         )
+        # NOT checkpointed: `best` is a one-row aggregate over the
+        # (checkpointed) current vocab — leaving it lazy folds it into
+        # the round's single `cur` checkpoint action (one driver
+        # round-trip per round instead of two; the ~10-sequential-
+        # action stall-band amplification documented in NOTES.md is
+        # the dominant cost of this loop at sandbox scale). The merges
+        # output recomputes these tiny aggs from the cached vocab
+        # relations at collection time.
         best = (
             pc.agg(
                 F.min(
@@ -758,7 +766,6 @@ def _bpe_learn(docs: DataFrame, k: int, text_col: str):
                 F.col("b.r").alias("right"),
                 (-F.col("b.nc")).alias("pair_count"),
             )
-            .localCheckpoint()
         )
         merges = best if merges is None else merges.unionByName(best)
         joined = cur.crossJoin(F.broadcast(best.select("left", "right")))
