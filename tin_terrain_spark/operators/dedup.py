@@ -200,31 +200,47 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact shingle-set Jaccard (n-gram Jaccard) refine over the LSH
     candidates — the same shingle universe the minhash estimates.
 
-    The distinct shingle table feeds three branches (both join sides +
-    the size aggregate) with no Catalyst subtree reuse across them, so
-    it is persisted for the call (released by clearCache / unpersist),
-    computing the explode+distinct shuffle once instead of three
-    times."""
+    Round-6 shape: each doc's distinct shingle set is collected ONCE
+    into an array (collect_set — the per-doc distinct and the set
+    build in a single shuffle of the raw token stream), and the refine
+    is two equi-joins of the candidate pairs against that doc-count-
+    sized table with n_inter = size(array_intersect(..)) — exact set
+    intersection, identical to the previous count-of-matching-rows
+    formulation. The round-5 shape shuffled the full (doc, tok) string
+    stream three more times (both join sides + the size aggregate,
+    no Catalyst subtree reuse); this one shuffles it once and the
+    remaining joins carry one array row per doc. Array size is bounded
+    by document length (the shingle set of one doc), the same bound
+    the per-doc window formulations already rely on."""
     cand = lsh_candidates(docs)
-    tok_sets = shingles_df(docs).persist()
-    sizes = tok_sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    ta = tok_sets.withColumnRenamed("doc_id", "doc_a")
-    tb = tok_sets.withColumnRenamed("doc_id", "doc_b")
-    inter = (
-        cand.join(ta, "doc_a", "inner")
-        .join(
-            tb,
-            ["doc_b", "tok"],
-            "inner",
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets = (
+        shingles_df(docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("toks"))
+        .select("doc_id", "toks", F.size("toks").alias("sz"))
+        .persist()
     )
-    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")
+    sets.count()  # materialize once: both join branches read the cache
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
     j = (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
+        )
+        # n_inter >= 1 preserves the old inner-join semantics (a pair
+        # with no shared shingle emitted no row) for ANY threshold
+        .filter(F.col("n_inter") >= 1)
         .withColumn(
             "jaccard",
             F.round(
@@ -664,23 +680,36 @@ def dedup_against_store(
         .select(F.col("doc_id").alias("new_id"), "old_id")
         .distinct()
     )
-    ns = shingles_df(new_docs)
-    n_sizes = ns.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz_new"))
-    o_sizes = store_shingles.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("sz_old")
-    )
-    inter = (
-        cand.join(ns.withColumnRenamed("doc_id", "new_id"), "new_id")
-        .join(
-            store_shingles.withColumnRenamed("doc_id", "old_id"),
-            ["old_id", "tok"],
+    # array-set refine (same restructure as near_dup_pairs): one
+    # collect_set shuffle per side, then the candidate pairs join two
+    # doc-count-sized array tables; size(array_intersect) is the exact
+    # |A ∩ B| the row-count join computed. store_shingles rows are
+    # sets per the store contract, so collect_set is a no-op dedup.
+    ns = (
+        shingles_df(new_docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("toks_new"))
+        .select(
+            F.col("doc_id").alias("new_id"), "toks_new",
+            F.size("toks_new").alias("sz_new"),
         )
-        .groupBy("new_id", "old_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    os_ = (
+        store_shingles.groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("toks_old"))
+        .select(
+            F.col("doc_id").alias("old_id"), "toks_old",
+            F.size("toks_old").alias("sz_old"),
+        )
     )
     j = (
-        inter.join(n_sizes.withColumnRenamed("doc_id", "new_id"), "new_id")
-        .join(o_sizes.withColumnRenamed("doc_id", "old_id"), "old_id")
+        cand.join(ns, "new_id")
+        .join(os_, "old_id")
+        .withColumn(
+            "n_inter",
+            F.size(F.array_intersect("toks_new", "toks_old")).cast("bigint"),
+        )
+        .filter(F.col("n_inter") >= 1)
         .withColumn(
             "jaccard",
             F.round(

@@ -231,7 +231,6 @@ def hits(edges: DataFrame, nodes: DataFrame, iters: int = 5) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
             .select(F.col("dst").alias("node"), "auth")
-            .localCheckpoint()
         )
         hub = (
             e_dst.join(
