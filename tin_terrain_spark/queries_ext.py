@@ -2224,7 +2224,10 @@ def q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/sitemap-1.xml</loc></sitemap></sitemapindex>"),
         ).alias("sitemap_xml"),
     )
-    files = children.unionByName(roots)
+    # the files table (a per-host XML aggregation) is referenced by the
+    # walk's initial frontier AND by every level's child join with no
+    # Catalyst subtree reuse — persist it for the call
+    files = children.unionByName(roots).persist()
     leaves = R.expand_sitemap_tree(files, max_depth=2)
     # the shard files are roots too (they ARE in the files table);
     # keep only the walk that started at the host's index root
