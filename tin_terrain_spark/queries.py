@@ -24,8 +24,9 @@ ZOOM = 3
 GRID_BITS = 5
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents table, spread across the session's cores.
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """documents table; spread=True repartitions it across the
+    session's cores.
 
     The test-scale documents.parquet is one small single-row-group
     file, so the scan yields ONE partition and everything upstream of
@@ -37,8 +38,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     every consumer (guide §2.5 "input skew: one unsplittable file —
     repartition immediately after the read"). At cluster scale the
     input arrives in many splits and the same repartition is a cheap
-    rebalance sized by spark.default.parallelism."""
+    rebalance sized by spark.default.parallelism.
+
+    spread=False keeps the raw scan for consumers whose map-side work
+    is trivial (small aggregations, broadcast-join probes) or that
+    repartition internally anyway (mesh_tiles, knn_*): for those the
+    exchange is pure overhead — measured +0.1–0.3 s per query at both
+    SFs with no win to offset it."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not spread:
+        return docs
     return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
@@ -65,7 +74,7 @@ def _points_sql(id_col: str = "doc_id", zoom: int = ZOOM) -> str:
 
 def q_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocoded points with tile keys — P1/P3/P4/P5 + J1 equi-key."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     return pts.select("doc_id", "x", "y", "tile_x", "tile_y", "cell_x", "cell_y")
 
 
@@ -77,7 +86,7 @@ SQL_GEOCODE = f"""
 
 def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile doc counts + 3D bbox agg (A2/A3) at zoom {ZOOM}."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     return pts.groupBy("tile_x", "tile_y").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("x"), 6).alias("min_x"),
@@ -101,7 +110,7 @@ SQL_TILE_COUNTS = f"""
 
 def q_tile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 TileBounds: distinct occupied tiles → meters bbox."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     t = pts.select("tile_x", "tile_y").distinct()
     return (
         t.withColumn("bound_min_x", F.expr(GX.tile_min_sql("tile_x", ZOOM)))
@@ -124,7 +133,7 @@ SQL_TILE_BOUNDS = f"""
 def q_zoom_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Y1/Y2 analogue: occupied-tile counts per zoom 0..6 (each zoom's
     tile key derived by the same ceil-1 rule; one scan, no loop)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     df = docs.select(
         "doc_id",
         F.expr(GX.mercator_x_sql("doc_id")).alias("x"),
@@ -170,7 +179,7 @@ SQL_ZOOM_PYRAMID = _sql_zoom_pyramid()
 def q_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(tile,cell) aggregation — the SurfacePoints::to_raster
     analogue feeding the mesh kernels (rounded for oracle compare)."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     return pts.groupBy("tile_x", "tile_y", "cell_x", "cell_y").agg(
         F.count(F.lit(1)).alias("n_pts"),
         F.round(F.avg("z_h"), 6).alias("z_avg"),
@@ -234,7 +243,7 @@ def q_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 + A4/A5: align two z fields on the cell grid (inner join on
     both-valid), per-tile mean/σ(pop)/max-abs/RMS — Welford ≡ stddev_pop
     (Mesh2Raster.cpp:351-491)."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     # two "rasters": z_h from hash stream u3, z2 = shifted variant
     pts = pts.withColumn("z2", F.col("z_h") * 0.75 + 3.0)
     cells = pts.groupBy("tile_x", "tile_y", "cell_x", "cell_y").agg(
@@ -304,7 +313,7 @@ def q_vertex_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     them via a broadcast join. Output identical to the global window.
     first_doc is unique (each doc lands in exactly one cell), so the
     ordering is total and the ids are deterministic."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     from pyspark.sql import Window as W
 
     firsts = pts.groupBy("cell_x", "cell_y").agg(F.min("doc_id").alias("first_doc"))
@@ -390,7 +399,7 @@ def q_terra_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (benchmark_workflow.cpp:880-924) into the gated output: max_err is a
     frozen golden column, and euler_ok / verts_on_grid_ok / cover_ok are
     TRUE-oracled independent invariants."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=GRID_BITS)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=1, grid_bits=GRID_BITS)
     return mesh_tiles(
         pts, zoom=1, grid_bits=GRID_BITS, method="terra", max_error=2.0,
         compute_error=True,
@@ -398,7 +407,7 @@ def q_terra_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zemlya_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=GRID_BITS)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=1, grid_bits=GRID_BITS)
     return mesh_tiles(
         pts, zoom=1, grid_bits=GRID_BITS, method="zemlya", max_error=2.0,
         compute_error=True,
@@ -411,7 +420,7 @@ def q_dense_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count law (BASELINE.md: faces = ceil((w-1)/step)*ceil((h-1)/step)*2)
     and n_points/n_cells are plain aggregations — the oracle recomputes
     all four in SQL."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=2, grid_bits=GRID_BITS)
     t = mesh_tiles(
         pts, zoom=2, grid_bits=GRID_BITS, method="dense", step=2, buffer_cells=0
     )
@@ -422,7 +431,7 @@ def q_curvature_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M-curvature: Laplacian point reduction + sweep-hull Delaunay per
     tile (simple_meshing.cpp:16-34; the max_error slot carries the
     threshold). Deterministic → golden-row oracle."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=GRID_BITS)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=1, grid_bits=GRID_BITS)
     return mesh_tiles(
         pts, zoom=1, grid_bits=GRID_BITS, method="curvature", max_error=0.5,
         compute_error=True,

@@ -23,7 +23,7 @@ from .queries import GRID_BITS, ZOOM, _docs, _points_sql
 
 
 def q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     polys = J.polygons_df(spark)
     hits = J.pip_join(pts, polys, ZOOM)
     return hits.groupBy("poly_id").agg(
@@ -76,7 +76,7 @@ SQL_KNN_BRUTE = f"""
 def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path kNN (ring expansion) — must equal q_knn_brute; the
     same SQL is therefore its oracle."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     queries = pts.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
     )
@@ -95,7 +95,7 @@ def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN over H3-style hex-ring expansion (charter surface) — must
     equal q_knn_brute, so the brute SQL is its (fully independent)
     oracle."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     queries = pts.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("q_id"), "x", "y"
     )
@@ -110,7 +110,7 @@ def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     of tile_counts, with the cell ids value-compared across engines."""
     from .functions import hexgrid as HG
 
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     hexed = HG.with_hex_cell(pts.select("doc_id", "x", "y"), HEX_SIZE)
     return hexed.groupBy("hex_q", "hex_r").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc")
@@ -164,7 +164,7 @@ def _sql_h3_cells() -> str:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(_docs(spark, sf_dir))
+    return D.exact_dedup(_docs(spark, sf_dir, spread=False))
 
 
 SQL_EXACT_DEDUP = """
@@ -262,7 +262,7 @@ SQL_SIMHASH = f"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.text_stats(_docs(spark, sf_dir))
+    return T.text_stats(_docs(spark, sf_dir, spread=False))
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,23 +270,23 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.langid(_docs(spark, sf_dir))
+    return T.langid(_docs(spark, sf_dir, spread=False))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.token_counts(_docs(spark, sf_dir))
+    return T.token_counts(_docs(spark, sf_dir, spread=False))
 
 
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.normalize_text(_docs(spark, sf_dir))
+    return T.normalize_text(_docs(spark, sf_dir, spread=False))
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SM.stratified_sample(_docs(spark, sf_dir))
+    return SM.stratified_sample(_docs(spark, sf_dir, spread=False))
 
 
 def q_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return SM.sample_profile(_docs(spark, sf_dir))
+    return SM.sample_profile(_docs(spark, sf_dir, spread=False))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +308,7 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -424,7 +424,7 @@ def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts with a regexp."""
     from .operators.urlops import host_profile, synth_urls
 
-    return host_profile(synth_urls(_docs(spark, sf_dir)))
+    return host_profile(synth_urls(_docs(spark, sf_dir, spread=False)))
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,7 +585,7 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     validates the same digests)."""
     from .operators.multimodal import extract_text, synth_media
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     media = synth_media(docs).select("doc_id", "html")
     rt = extract_text(media).join(docs.select("doc_id", "text"), "doc_id")
     return rt.select(
@@ -708,7 +708,7 @@ def q_tiles_obj(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.meshing import mesh_tiles
     from .operators.sinks import tiles_as_obj
 
-    pts = geocode_points(_docs(spark, sf_dir), zoom=1, grid_bits=5)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=1, grid_bits=5)
     tiles = mesh_tiles(pts, zoom=1, method="terra", max_error=2.0)
     return tiles_as_obj(tiles).select(
         "zoom", "tile_x", "tile_y", "n_vertices", "n_faces", F.length("obj").alias("obj_len")
@@ -733,7 +733,7 @@ ORACLES_EXT["frame_sample"] = SQL_FRAME_SAMPLE
 def q_pip_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 with true convex polygons (octagon rings): bbox prefilter +
     exact min-cross refine."""
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     hits = J.pip_convex_join(pts, J.convex_polygons_df(spark))
     return hits.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_hits"), F.min("doc_id").alias("first_doc")
@@ -919,7 +919,7 @@ def q_points_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .queries import GRID_BITS
 
-    pts = geocode_points(_docs(spark, sf_dir), zoom=2, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread=False), zoom=2, grid_bits=GRID_BITS, with_dem_z=False)
     cells = pts.groupBy("tile_x", "tile_y", "cell_x", "cell_y").agg(
         F.avg("z_h").alias("z")
     )
@@ -1005,7 +1005,7 @@ def q_face_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import h3geo as HG
 
     pts = geocode_points(
-        _docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False
+        _docs(spark, sf_dir, spread=False), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False
     ).select("doc_id", "x", "y")
     # pure-Column chain (JVM codegen, no Python stage); the
     # mapInPandas NumPy twin is crosschecked cell-for-cell in
@@ -1506,7 +1506,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected emails/phones/IPv4s — pure JVM regexp column expressions,
     map-only; the DuckDB twin scrubs with an independent regex engine
     (RE2) over the same patterns."""
-    return T.pii_scrub(T.synth_pii(_docs(spark, sf_dir)))
+    return T.pii_scrub(T.synth_pii(_docs(spark, sf_dir, spread=False)))
 
 
 QUERIES_EXT["pii_scrub"] = q_pii_scrub
@@ -1581,7 +1581,7 @@ def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme+host, default-port/fragment/tracking-param/trailing-slash
     stripping over six deterministic noise variants — pure JVM regexp
     chain, pinned against the closed-form expected canonical url."""
-    return U.canonicalize_url(U.synth_noisy_urls(_docs(spark, sf_dir)))
+    return U.canonicalize_url(U.synth_noisy_urls(_docs(spark, sf_dir, spread=False)))
 
 
 QUERIES_EXT["url_canon"] = q_url_canon
@@ -1670,7 +1670,7 @@ def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     url join classifying new/changed/gone/unchanged between two
     deterministic snapshots — the incremental-ingest primitive;
     closed-form oracle."""
-    a, b = U.synth_snapshots(_docs(spark, sf_dir))
+    a, b = U.synth_snapshots(_docs(spark, sf_dir, spread=False))
     return U.snapshot_delta(a, b)
 
 
@@ -1685,7 +1685,7 @@ def q_host_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB."""
     from .operators.sampling import host_quota
 
-    pages = U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+    pages = U.with_host(U.synth_urls(_docs(spark, sf_dir, spread=False)))
     kept = host_quota(pages, per_host=3)
     return kept.groupBy("host").agg(
         F.count(F.lit(1)).cast("int").alias("n_kept"),
@@ -1729,7 +1729,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import robots as R
 
     did = F.col("doc_id")
-    pages = U.with_host(U.synth_urls(_docs(spark, sf_dir))).select(
+    pages = U.with_host(U.synth_urls(_docs(spark, sf_dir, spread=False))).select(
         "doc_id",
         "host",
         F.concat(F.lit("/doc/"), did.cast("string")).alias("path"),
@@ -1780,7 +1780,7 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     detected charset pinned in closed form."""
     from .operators import htmlops as H
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     return H.decode_pages(H.synth_encoded_pages(docs))
 
 
@@ -1816,7 +1816,7 @@ def q_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation + broadcast rate arithmetic; fully oracled."""
     from .operators.sampling import mix_plan
 
-    return mix_plan(_docs(spark, sf_dir))
+    return mix_plan(_docs(spark, sf_dir, spread=False))
 
 
 def _sql_mix_plan() -> str:
@@ -1993,7 +1993,7 @@ def q_etld1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground-truth public_suffix/registered_domain per template (like
     url_canon: the expected answers come from the published PSL
     algorithm by hand, not a SQL re-implementation)."""
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
     k = (F.col("doc_id") % 50).cast("string")
     t = F.col("doc_id") % 6
     host = (
@@ -2055,7 +2055,7 @@ def q_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlops import N_HOSTS
 
     fr = (
-        U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+        U.with_host(U.synth_urls(_docs(spark, sf_dir, spread=False)))
         .select("doc_id", "url", "host")
         .withColumn(
             "crawl_delay", (F.col("doc_id") % N_HOSTS) % 5 + 1
@@ -2444,7 +2444,7 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query pins the exact semantics)."""
     pct = F.percentile(F.col("n_chars"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
-        _docs(spark, sf_dir)
+        _docs(spark, sf_dir, spread=False)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
