@@ -57,14 +57,18 @@ def pagerank(
     nodes: DataFrame,
     iters: int = N_ITERS,
     damping: float = DAMPING,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank with fixed iteration count over edges(src, dst) and
     nodes(node). Returns (node, rank) with sum(rank) == 1 up to float
     drift. Dangling nodes (no out-edges) redistribute their mass
-    uniformly each iteration, per the standard formulation."""
+    uniformly each iteration, per the standard formulation. Callers
+    that already know the node count pass n_nodes to skip the count
+    action (most query shapes count the corpus anyway)."""
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    n_nodes = nodes.count()
+    if n_nodes is None:
+        n_nodes = nodes.count()
 
     # loop-invariant: per-edge weight 1/outdeg(src), partitioned by the
     # probe key once; the checkpoint truncates whatever lineage built
@@ -79,11 +83,15 @@ def pagerank(
     # static dangling-node set (nodes with no out-edges); when it is
     # empty — the common case for link graphs with a self-loop or
     # sink-handling upstream — the per-round dangling-mass aggregate
-    # subtree is dropped from the plan entirely
+    # subtree is dropped from the plan entirely. The probe runs on the
+    # LAZY frame (one cheap action); the checkpoint is only paid when
+    # dangling nodes exist and the loop will actually re-read the set.
     dangling = nodes.join(
         odeg.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint()
+    )
     has_dangling = dangling.limit(1).count() > 0
+    if has_dangling:
+        dangling = dangling.localCheckpoint()
 
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")

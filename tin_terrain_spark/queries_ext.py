@@ -1595,11 +1595,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — value-compared against an unrolled DuckDB recomputation."""
     from .operators import graph as G
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
     n = docs.count()
     edges = G.synth_links(docs, n)
     nodes = docs.select(F.col("doc_id").alias("node"))
-    pr = G.pagerank(edges, nodes)
+    pr = G.pagerank(edges, nodes, n_nodes=n)
     return pr.select(
         F.col("node").alias("doc_id"),
         F.round(F.col("rank") * n, 6).alias("rank_x_n"),
@@ -2184,7 +2184,7 @@ def q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import robots as R
 
     did = F.col("doc_id")
-    base = U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+    base = U.with_host(U.synth_urls(_docs(spark, sf_dir, spread=False)))
     entry = F.concat(
         F.lit("<url><loc>"),
         F.col("url"),
@@ -2553,7 +2553,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, bit-equal to the unrolled DuckDB recursion."""
     from .operators import graph as G
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
     n = docs.count()
     edges = G.synth_links(docs, n)
     nodes = docs.select(F.col("doc_id").alias("node"))
