@@ -1110,7 +1110,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph; docs with no near-duplicate are their own cluster
     and keep trivially). One left equi-join of the corpus against the
     (small) cluster table — scales to any corpus size."""
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
     pairs = _shared_near_dup_pairs(spark, sf_dir, 0.5).select("doc_a", "doc_b")
     cc = D.connected_components(pairs).select("doc_id", "cluster_id")
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
@@ -2227,7 +2227,7 @@ def q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the files table (a per-host XML aggregation) is referenced by the
     # walk's initial frontier AND by every level's child join with no
     # Catalyst subtree reuse — persist it for the call
-    files = children.unionByName(roots).persist()
+    files = children.unionByName(roots)
     leaves = R.expand_sitemap_tree(files, max_depth=2)
     # the shard files are roots too (they ARE in the files table);
     # keep only the walk that started at the host's index root
