@@ -1,0 +1,160 @@
+"""Round-6 optimization equivalence tests: each rewrite that changed
+an operator's internals must be result-identical to the semantics it
+replaced (the optimizations are plan changes, never value changes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from tin_terrain_spark.session import get_spark
+
+    s = get_spark("r06opt", cores=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    from tin_terrain_spark.operators.geocode import geocode_points
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return geocode_points(docs, zoom=2, grid_bits=5, with_dem_z=False)
+
+
+def _corpus(spark):
+    """Duplicate-heavy corpus: repeated shingles within and across
+    docs, short docs, and near-duplicate pairs."""
+    rows = [
+        (1, "the cat sat on the mat the cat sat on the mat"),
+        (2, "the cat sat on the mat the cat sat on a mat"),
+        (3, "a completely different document about spark plans"),
+        (4, "short doc"),
+        (5, "short doc"),
+        (6, "the cat sat on the mat the cat sat on the mat extra tail"),
+    ]
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_minhash_multiset_equals_set(spark):
+    """minhash_signatures consumes the NON-distinct shingle stream;
+    min over the multiset must equal min over the distinct set — the
+    equivalence that justified dropping the distinct shuffle."""
+    from tin_terrain_spark.operators.dedup import (
+        MINHASH_FUNCS, _P, _tok_hash, minhash_signatures, shingles_df,
+    )
+
+    docs = _corpus(spark)
+    fast = {
+        (r.doc_id, r.func_id): r.minhash
+        for r in minhash_signatures(docs).collect()
+    }
+    # reference: the round-5 semantics — distinct shingles first
+    ids = shingles_df(docs, distinct=True).select(
+        "doc_id", _tok_hash(F.col("tok")).alias("tok_id")
+    )
+    aggs = [
+        F.min((F.col("tok_id") * m + a) % _P).alias(f"mh_{i}")
+        for i, (m, a) in enumerate(MINHASH_FUNCS)
+    ]
+    ref_rows = ids.groupBy("doc_id").agg(*aggs).collect()
+    ref = {
+        (r.doc_id, i): r[f"mh_{i}"]
+        for r in ref_rows
+        for i in range(len(MINHASH_FUNCS))
+    }
+    assert fast == ref and len(fast) == 6 * len(MINHASH_FUNCS)
+
+
+def test_near_dup_pairs_array_refine_exact(spark):
+    """The array_intersect refine must reproduce the exact set-Jaccard
+    the row-count join computed: hand-check n_inter and jaccard on a
+    pair with a known shingle overlap."""
+    from tin_terrain_spark.operators.dedup import near_dup_pairs, shingles_df
+
+    docs = _corpus(spark)
+    sets = {
+        d: {r.tok for r in rows}
+        for d, rows in (
+            (d, [r for r in shingles_df(docs).collect() if r.doc_id == d])
+            for d in (1, 2)
+        )
+    }
+    inter = len(sets[1] & sets[2])
+    union = len(sets[1] | sets[2])
+    got = {(r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+           for r in near_dup_pairs(docs, threshold=0.1).collect()}
+    assert (1, 2) in got
+    n_inter, jac = got[(1, 2)]
+    assert n_inter == inter
+    assert jac == round(inter / union, 6)
+    # short-doc exact duplicates still pair at jaccard 1.0
+    assert got[(4, 5)] == (1, 1.0)
+
+
+def test_pagerank_n_nodes_param(spark):
+    """pagerank(n_nodes=...) must equal pagerank() computing the count
+    itself (the param only skips the redundant count action)."""
+    from tin_terrain_spark.operators.graph import pagerank, synth_links
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    edges = synth_links(docs, 12)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    a = {r.node: round(r.rank, 12) for r in pagerank(edges, nodes).collect()}
+    b = {r.node: round(r.rank, 12)
+         for r in pagerank(edges, nodes, n_nodes=12).collect()}
+    assert a == b and len(a) == 12
+
+
+def test_knn_ring_cache_inputs_off(spark, points):
+    """cache_inputs=False (the 10^12-row escape hatch) must return the
+    same rows as the default cached path."""
+    from tin_terrain_spark.operators.joins import knn_ring
+
+    queries = points.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
+    )
+    others = points.filter(F.col("doc_id") >= 8)
+    cached = {
+        (r.q_id, r.rank): (r.doc_id, r.dist2)
+        for r in knn_ring(others, queries, 2, 5, k=5).collect()
+    }
+    uncached = {
+        (r.q_id, r.rank): (r.doc_id, r.dist2)
+        for r in knn_ring(
+            others, queries, 2, 5, k=5, cache_inputs=False
+        ).collect()
+    }
+    assert cached == uncached and len(cached) == 40
+
+
+def test_incr_dedup_array_refine(spark):
+    """dedup_against_store's array-set refine: a verbatim duplicate of
+    a stored doc must resolve as a dup of it with jaccard 1.0; a fresh
+    doc must be admitted."""
+    from tin_terrain_spark.operators.dedup import (
+        band_keys, dedup_against_store, shingles_df,
+    )
+
+    store_docs = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id BIGINT, text STRING",
+    )
+    new_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+         (101, "unrelated words entirely here and now truly")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {
+        r.doc_id: (r.dup_of, r.jaccard, r.is_dup)
+        for r in dedup_against_store(
+            new_docs, band_keys(store_docs), shingles_df(store_docs)
+        ).collect()
+    }
+    assert out[100] == (10, 1.0, True)
+    assert out[101] == (None, None, False)
