@@ -119,11 +119,13 @@ def doc_token_ids(docs: DataFrame) -> DataFrame:
     """(doc_id, tok_id) from the fixed string hash — one narrow scan,
     no vocabulary state of any kind. Feeds ONLY min-aggregates
     (minhash_signatures), so the shingle stream skips the distinct:
-    min over the multiset equals min over the set, and dropping the
-    dedup removes a full shuffle of shingle strings plus its pre-agg
-    from every signature build (guide §2.4 "a distinct on data that is
-    already unique" — here, a distinct whose consumer is
-    duplicate-insensitive)."""
+    min over the multiset equals min over the set. Plan note: Catalyst
+    (RemoveRedundantAggregates) already eliminates the redundant
+    distinct below these duplicate-insensitive aggregates — the
+    round-start physical plans carry no (doc_id, tok) shuffle
+    (plans/r06/minhash_before.txt) — so skipping it here changes the
+    LOGICAL plan only: it keeps the redundancy out of every consumer
+    instead of relying on the optimizer to notice it each time."""
     return shingles_df(docs, distinct=False).select(
         "doc_id", _tok_hash(F.col("tok")).alias("tok_id")
     )
