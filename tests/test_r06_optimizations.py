@@ -158,3 +158,36 @@ def test_incr_dedup_array_refine(spark):
     }
     assert out[100] == (10, 1.0, True)
     assert out[101] == (None, None, False)
+
+
+def test_docs_spread_auto_gates_on_input_size(spark, monkeypatch):
+    """spread="auto" derives the scan spread from the input file size:
+    below the gate the raw single-partition scan is kept (the faster
+    plan for mid-tier consumers at small scale, A/B-measured), above
+    it the doc_id repartition fires (the sf1.0-winning plan). Rows are
+    identical either way."""
+    from tin_terrain_spark import queries as Q
+
+    raw = Q._docs(spark, SF, spread="auto")
+    # sf0.01 documents.parquet is ~65 KB, far below the 1 MiB gate
+    assert raw.rdd.getNumPartitions() == 1
+    assert "repartition" not in raw._jdf.queryExecution().logical().toString().lower()
+
+    monkeypatch.setattr(Q, "_SPREAD_MIN_BYTES", 1)
+    spread = Q._docs(spark, SF, spread="auto")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    a = {tuple(r) for r in raw.collect()}
+    b = {tuple(r) for r in spread.collect()}
+    assert a == b
+
+
+def test_spread_pays_fallbacks():
+    """Non-file inputs (directories / object-store paths) must default
+    to spreading: at cluster scale the repartition is a cheap
+    rebalance, and the gate only exists to protect tiny local files."""
+    from tin_terrain_spark.queries import _spread_pays
+
+    assert _spread_pays("/root/testdata") is True            # directory
+    assert _spread_pays("s3://bucket/docs.parquet") is True  # not local
+    assert _spread_pays(f"{SF}/documents.parquet") is False  # tiny file

@@ -14,6 +14,8 @@ sorting columns by name).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import geocode_exprs as GX
@@ -24,7 +26,33 @@ ZOOM = 3
 GRID_BITS = 5
 
 
-def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+# Size gate for spread="auto": spread only when the input file carries
+# enough bytes that the single-partition map time dwarfs the exchange's
+# fixed cost. Paired same-window A/B at sf0.1 (0.58 MB: spread costs
+# 0.05–0.43 s on these consumers) vs sf1.0 (~6 MB: spread wins
+# 0.3–8 s) puts the break-even between those scales; 1 MiB sits on the
+# winning side of every measured case. Env-overridable for other
+# deployments (scripts/ab_spread.py re-measures the split).
+_SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(1024 * 1024))
+)
+
+
+def _spread_pays(path: str) -> bool:
+    """True when the input is big enough for the scan spread to pay.
+    Non-local / multi-file inputs (directories, object stores) return
+    True: those are the cluster-scale layouts where the repartition is
+    a cheap rebalance of already-split input, never a regression."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path) >= _SPREAD_MIN_BYTES
+    except OSError:
+        pass
+    return True
+
+
+def _docs(spark: SparkSession, sf_dir: str,
+          spread: bool | str = True) -> DataFrame:
     """documents table; spread=True repartitions it across the
     session's cores.
 
@@ -44,8 +72,18 @@ def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     is trivial (small aggregations, broadcast-join probes) or that
     repartition internally anyway (mesh_tiles, knn_*): for those the
     exchange is pure overhead — measured +0.1–0.3 s per query at both
-    SFs with no win to offset it."""
+    SFs with no win to offset it.
+
+    spread="auto" sizes the decision from the input (guide §2: derive
+    partitioning from input size, not a constant tuned to one scale):
+    spread iff the file exceeds _SPREAD_MIN_BYTES. For the mid-tier
+    consumers flipped to "auto" the paired A/B showed the exchange
+    LOSES at sf0.1 (−0.05..−0.43 s each) and WINS at sf1.0, so the
+    raw scan is kept exactly where it is the faster plan. Result rows
+    are identical either way (a repartition reorders, never edits)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread == "auto":
+        spread = _spread_pays(f"{sf_dir}/documents.parquet")
     if not spread:
         return docs
     return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")

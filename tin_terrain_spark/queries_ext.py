@@ -50,7 +50,7 @@ SQL_PIP = f"""
 
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread="auto"), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     queries = pts.filter(F.col("doc_id") < 8).select(
         F.col("doc_id").alias("q_id"), "x", "y"
     )
@@ -135,7 +135,7 @@ def q_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB recomputing the identical walk."""
     from .functions import h3pack as H3
 
-    pts = geocode_points(_docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
+    pts = geocode_points(_docs(spark, sf_dir, spread="auto"), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False)
     # res 7 spans ~823k cells (radius ~510) around the origin — the
     # hex grid at HEX_SIZE reaches ~±150; fewer walk steps keep the
     # staged plan small
@@ -231,7 +231,7 @@ SQL_LSH_CANDIDATES = _sql_lsh_candidates()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(_docs(spark, sf_dir))
+    return D.simhash(_docs(spark, sf_dir, spread="auto"))
 
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,7 +1336,7 @@ def q_h3_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.h3geo import EARTH_R_MERC
 
     pts = geocode_points(
-        _docs(spark, sf_dir), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False
+        _docs(spark, sf_dir, spread="auto"), zoom=ZOOM, grid_bits=GRID_BITS, with_dem_z=False
     ).select("doc_id", "x", "y")
 
     def encode(batches):
@@ -1393,7 +1393,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM perplexity proxy (textops.lm_score): the CCNet-style
     quality score, fully DuckDB-oracled (rounded to 6 dp against the
     reduction-order difference)."""
-    return T.lm_score(_docs(spark, sf_dir))
+    return T.lm_score(_docs(spark, sf_dir, spread="auto"))
 
 
 QUERIES_EXT["lm_score"] = q_lm_score
@@ -1407,7 +1407,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the DuckDB oracle recomputes the sketch itself."""
     from .operators.sketches import kmv_distinct
 
-    toks = _docs(spark, sf_dir).select(
+    toks = _docs(spark, sf_dir, spread="auto").select(
         "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
     return kmv_distinct(toks, "lang", "tok", k=64)
@@ -1494,7 +1494,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring (textops.bm25) against a fixed query-term
     set — row-wise doc lengths, term-filtered posting aggregation,
     broadcast df/corpus stats, one doc_id shuffle; fully oracled."""
-    return T.bm25(_docs(spark, sf_dir))
+    return T.bm25(_docs(spark, sf_dir, spread="auto"))
 
 
 QUERIES_EXT["bm25"] = q_bm25
@@ -1525,7 +1525,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlops import synth_urls
     from .sources import warc as W
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread="auto")
     pages = (
         synth_urls(docs)
         .select("doc_id", "url")
@@ -1542,7 +1542,7 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = H.extract_html(parsed, keep_cols=("url", "warc_epoch", "http_status"))
     return (
         ex
-        .join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id")
+        .join(_docs(spark, sf_dir, spread="auto").select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             "url",
@@ -1882,7 +1882,7 @@ def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</priority></url>"),
     )
     per_host = (
-        U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+        U.with_host(U.synth_urls(_docs(spark, sf_dir, spread="auto")))
         .select("host", entry.alias("entry"))
         .groupBy("host")
         .agg(
@@ -1929,7 +1929,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     + digits(content-length) + the HTTP envelope + body."""
     from .sources import warc as W
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread="auto")
     pages = (
         U.synth_urls(docs)
         .select("doc_id", "url")
@@ -2126,7 +2126,7 @@ def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     were wrong the parse would fail or the text would differ."""
     from .sources import warc as W
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread="auto")
     pages = (
         U.synth_urls(docs)
         .select("doc_id", "url")
@@ -2377,7 +2377,7 @@ def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that probes the index and Jaccard-refines — the corpus text is
     never re-LSHed. Oracle recomputes signatures for all docs and
     replays the same probe in SQL."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread="auto")
     new_batch = docs.filter(F.col("doc_id") % 3 == 0)
     store = docs.filter(F.col("doc_id") % 3 != 0)
     return D.dedup_against_store(
@@ -2474,7 +2474,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned over the corpus word-frequency table; DuckDB twin unrolls
     the same 6 rounds (argmax by count desc / pair asc, canonical
     leftmost-non-overlap rewrite via list_reduce)."""
-    return T.bpe_merges(_docs(spark, sf_dir), k=6)
+    return T.bpe_merges(_docs(spark, sf_dir, spread="auto"), k=6)
 
 
 def _sql_bpe_merges(k: int = 6) -> str:
@@ -2520,7 +2520,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization (textops.bpe_encode): per-doc word and BPE
     token counts under the 6 corpus-learned merges; the DuckDB twin
     re-learns the identical merges (unrolled CTEs) and re-encodes."""
-    return T.bpe_encode(_docs(spark, sf_dir), k=6)
+    return T.bpe_encode(_docs(spark, sf_dir, spread="auto"), k=6)
 
 
 def _sql_bpe_encode(k: int = 6) -> str:
@@ -2582,7 +2582,7 @@ def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlops import N_HOSTS
 
     hosts = (
-        U.with_host(U.synth_urls(_docs(spark, sf_dir)))
+        U.with_host(U.synth_urls(_docs(spark, sf_dir, spread="auto")))
         .select("host", (F.col("doc_id") % N_HOSTS).alias("hn"))
         .distinct()
     )
@@ -2637,7 +2637,7 @@ def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import htmlops as H
     from .operators.urlops import N_HOSTS
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread="auto")
     n = docs.count()
     tgt = (F.col("doc_id") * 7 + 1) % n
     html = F.encode(
