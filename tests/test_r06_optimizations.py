@@ -173,7 +173,7 @@ def test_docs_spread_auto_gates_on_input_size(spark, monkeypatch):
     assert raw.rdd.getNumPartitions() == 1
     assert "repartition" not in raw._jdf.queryExecution().logical().toString().lower()
 
-    monkeypatch.setattr(Q, "_SPREAD_MIN_BYTES", 1)
+    monkeypatch.setattr(Q, "_SPREAD_MIN_ROWS", 1)
     spread = Q._docs(spark, SF, spread="auto")
     assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
@@ -191,3 +191,24 @@ def test_spread_pays_fallbacks():
     assert _spread_pays("/root/testdata") is True            # directory
     assert _spread_pays("s3://bucket/docs.parquet") is True  # not local
     assert _spread_pays(f"{SF}/documents.parquet") is False  # tiny file
+
+
+def test_spread_pays_reads_footer_not_compressed_size(tmp_path):
+    """Dup-heavy corpora compress far below the byte gate while still
+    carrying per-row map work — the gate must read the parquet footer
+    (row count / uncompressed bytes), not the compressed file size. A
+    20k-row constant column compresses to a few KB but must spread."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tin_terrain_spark.queries import _SPREAD_MIN_ROWS, _spread_pays
+
+    n = _SPREAD_MIN_ROWS + 1
+    path = str(tmp_path / "dup_docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(n)), "text": ["same text"] * n}), path
+    )
+    import os
+
+    assert os.path.getsize(path) < 1024 * 1024  # tiny on disk...
+    assert _spread_pays(path) is True           # ...but 20k rows of work

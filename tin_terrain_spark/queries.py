@@ -26,13 +26,26 @@ ZOOM = 3
 GRID_BITS = 5
 
 
-# Size gate for spread="auto": spread only when the input file carries
-# enough bytes that the single-partition map time dwarfs the exchange's
-# fixed cost. Paired same-window A/B at sf0.1 (0.58 MB: spread costs
-# 0.05–0.43 s on these consumers) vs sf1.0 (~6 MB: spread wins
-# 0.3–8 s) puts the break-even between those scales; 1 MiB sits on the
-# winning side of every measured case. Env-overridable for other
-# deployments (scripts/ab_spread.py re-measures the split).
+# Size gate for spread="auto": spread only when the input carries
+# enough WORK that the single-partition map time dwarfs the exchange's
+# fixed cost. Paired same-window A/B at sf0.1 (5k docs: spread costs
+# 0.05–0.43 s on these consumers) vs sf1.0 (50k docs: spread wins
+# 0.3–8 s) puts the break-even between those scales; 16k rows sits a
+# 3x margin from both measured points. The primary signals come from
+# the parquet FOOTER (row count, uncompressed bytes — instant local
+# metadata, no Spark job): compressed file size under-counts
+# duplicate-heavy corpora (a 25k-doc 5x-replicated probe compressed
+# to 0.82 MB yet ran 4.8 s single-partition), and web corpora are
+# exactly the dup-heavy case. Uncompressed bytes (8 MiB) catch
+# few-but-huge-doc corpora the row gate would miss. Compressed file
+# size (1 MiB) is the fallback when no footer is readable.
+# All three env-overridable (scripts/ab_spread.py re-measures).
+_SPREAD_MIN_ROWS = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_ROWS", str(16 * 1024))
+)
+_SPREAD_MIN_UBYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_UBYTES", str(8 * 1024 * 1024))
+)
 _SPREAD_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(1024 * 1024))
 )
@@ -44,11 +57,24 @@ def _spread_pays(path: str) -> bool:
     True: those are the cluster-scale layouts where the repartition is
     a cheap rebalance of already-split input, never a regression."""
     try:
-        if os.path.isfile(path):
-            return os.path.getsize(path) >= _SPREAD_MIN_BYTES
+        if not os.path.isfile(path):
+            return True
     except OSError:
-        pass
-    return True
+        return True
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        unc = sum(
+            meta.row_group(i).total_byte_size
+            for i in range(meta.num_row_groups)
+        )
+        return meta.num_rows >= _SPREAD_MIN_ROWS or unc >= _SPREAD_MIN_UBYTES
+    except Exception:  # noqa: BLE001 — unreadable footer: coarse fallback
+        try:
+            return os.path.getsize(path) >= _SPREAD_MIN_BYTES
+        except OSError:
+            return True
 
 
 def _docs(spark: SparkSession, sf_dir: str,
@@ -76,11 +102,13 @@ def _docs(spark: SparkSession, sf_dir: str,
 
     spread="auto" sizes the decision from the input (guide §2: derive
     partitioning from input size, not a constant tuned to one scale):
-    spread iff the file exceeds _SPREAD_MIN_BYTES. For the mid-tier
-    consumers flipped to "auto" the paired A/B showed the exchange
-    LOSES at sf0.1 (−0.05..−0.43 s each) and WINS at sf1.0, so the
-    raw scan is kept exactly where it is the faster plan. Result rows
-    are identical either way (a repartition reorders, never edits)."""
+    spread iff the parquet footer reports ≥ _SPREAD_MIN_ROWS rows or
+    ≥ _SPREAD_MIN_UBYTES uncompressed bytes (file-size fallback when
+    no footer). For the mid-tier consumers flipped to "auto" the
+    paired A/B showed the exchange LOSES at sf0.1 (−0.05..−0.43 s
+    each) and WINS at sf1.0, so the raw scan is kept exactly where it
+    is the faster plan. Result rows are identical either way (a
+    repartition reorders, never edits)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if spread == "auto":
         spread = _spread_pays(f"{sf_dir}/documents.parquet")
