@@ -1929,7 +1929,7 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     + digits(content-length) + the HTTP envelope + body."""
     from .sources import warc as W
 
-    docs = _docs(spark, sf_dir, spread="auto")
+    docs = _docs(spark, sf_dir, spread=False)
     pages = (
         U.synth_urls(docs)
         .select("doc_id", "url")
@@ -2126,7 +2126,7 @@ def q_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     were wrong the parse would fail or the text would differ."""
     from .sources import warc as W
 
-    docs = _docs(spark, sf_dir, spread="auto")
+    docs = _docs(spark, sf_dir, spread=False)
     pages = (
         U.synth_urls(docs)
         .select("doc_id", "url")
@@ -2377,7 +2377,7 @@ def q_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that probes the index and Jaccard-refines — the corpus text is
     never re-LSHed. Oracle recomputes signatures for all docs and
     replays the same probe in SQL."""
-    docs = _docs(spark, sf_dir, spread="auto")
+    docs = _docs(spark, sf_dir, spread=False)
     new_batch = docs.filter(F.col("doc_id") % 3 == 0)
     store = docs.filter(F.col("doc_id") % 3 != 0)
     return D.dedup_against_store(
@@ -2474,7 +2474,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned over the corpus word-frequency table; DuckDB twin unrolls
     the same 6 rounds (argmax by count desc / pair asc, canonical
     leftmost-non-overlap rewrite via list_reduce)."""
-    return T.bpe_merges(_docs(spark, sf_dir, spread="auto"), k=6)
+    return T.bpe_merges(_docs(spark, sf_dir, spread=False), k=6)
 
 
 def _sql_bpe_merges(k: int = 6) -> str:
@@ -2582,7 +2582,7 @@ def q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.urlops import N_HOSTS
 
     hosts = (
-        U.with_host(U.synth_urls(_docs(spark, sf_dir, spread="auto")))
+        U.with_host(U.synth_urls(_docs(spark, sf_dir, spread=False)))
         .select("host", (F.col("doc_id") % N_HOSTS).alias("hn"))
         .distinct()
     )
