@@ -212,3 +212,37 @@ def test_spread_pays_reads_footer_not_compressed_size(tmp_path):
 
     assert os.path.getsize(path) < 1024 * 1024  # tiny on disk...
     assert _spread_pays(path) is True           # ...but 20k rows of work
+
+
+def test_knn_ring_prune_multi_round_equals_brute(spark):
+    """The guarantee-radius candidate prune must stay exact when round
+    1 does NOT resolve: a sparse far-apart corpus with a deliberately
+    tiny initial_ring forces unresolved queries through ring*4 rounds
+    and the brute fallback; every path must match knn_brute."""
+    from tin_terrain_spark.functions.geocode_exprs import tile_size_meters
+    from tin_terrain_spark.operators.geocode import geocode_points
+    from tin_terrain_spark.operators.joins import knn_brute, knn_hex, knn_ring
+
+    # 40 points: ids spread so the hash streams scatter them widely —
+    # at zoom 5 / grid_bits 6 most cells are empty and the k-th
+    # neighbor sits far outside a 1-cell ring guarantee
+    docs = spark.range(40).select((F.col("id") * 7919).alias("doc_id"))
+    pts = geocode_points(docs, zoom=5, grid_bits=6, with_dem_z=False)
+    queries = pts.limit(6).select(
+        F.col("doc_id").alias("q_id"), "x", "y", "cell_x", "cell_y"
+    )
+    brute = {
+        (r.q_id, r.rank): (r.doc_id, r.dist2)
+        for r in knn_brute(
+            pts, queries.select("q_id", "x", "y"), k=5
+        ).collect()
+    }
+    for out in (
+        knn_ring(pts, queries, 5, 6, k=5, initial_ring=1, max_ring_rounds=2),
+        knn_ring(pts, queries, 5, 6, k=5, initial_ring=1, max_ring_rounds=2,
+                 cell_join="shuffle"),
+        knn_hex(pts, queries.select("q_id", "x", "y"), tile_size_meters(11),
+                k=5, initial_ring=1, max_ring_rounds=2),
+    ):
+        got = {(r.q_id, r.rank): (r.doc_id, r.dist2) for r in out.collect()}
+        assert got == brute

@@ -204,19 +204,34 @@ def _knn_rounds(pts: DataFrame, q: DataFrame, k: int, initial_ring: int,
     ring = initial_ring
     round_caches: list[DataFrame] = []
     for _ in range(max_rounds):
+        guarantee2 = float(guarantee_m(ring)) ** 2
         cand = cand_fn(pts, remaining, ring).withColumn(
             "dist2",
             (F.col("x") - F.col("qx")) * (F.col("x") - F.col("qx"))
             + (F.col("y") - F.col("qy")) * (F.col("y") - F.col("qy")),
         )
+        # Guarantee-radius candidate prune (guide §2.3): only rows with
+        # dist2 <= guarantee2 can participate in a RESOLUTION this
+        # round, and the prune is exact — if >= k candidates lie within
+        # the guarantee circle, the k nearest are all within it (they
+        # are the k smallest distances), so the pruned top-k equals the
+        # unpruned top-k and the query resolves identically; if fewer,
+        # the pruned count drops below k and the query is unresolved —
+        # exactly the verdict the unpruned round reaches (either < k
+        # rows, or kth_d2 > guarantee2). Same inclusive <= as the
+        # resolution check, same dist2 expression bit-for-bit.
+        # Unresolved queries re-join at ring*4 from scratch, so pruned
+        # rows never leak. Ring candidates outside the circle (corner
+        # cells: ~1 - pi/4 of the box, plus the density margin) skip
+        # the sort/shuffle/window entirely — measured 18-21% off the
+        # round action at 1.44M points x 160k queries.
+        cand = cand.filter(F.col("dist2") <= F.lit(guarantee2))
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "doc_id", "rank", "dist2")
         ).persist()
         round_caches.append(topk)
-
-        guarantee2 = float(guarantee_m(ring)) ** 2
         resolved = (
             topk.groupBy("q_id")
             .agg(F.count(F.lit(1)).alias("n_found"), F.max("dist2").alias("kth_d2"))
