@@ -236,6 +236,22 @@ def near_dup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     j = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # Size-ratio prune before the intersect: a pair's maximum
+        # achievable Jaccard is min(sz)/max(sz) (n_inter <= min, and
+        # J = n/(a+b-n) is increasing in n, so J <= min/(a+b-min) =
+        # min/max). Rounding is monotone, so a pair failing
+        # round(min/max, 6) >= threshold can never pass the final
+        # round(J, 6) >= threshold filter — dropping it here skips its
+        # array_intersect (a per-pair hash set build) with zero result
+        # change. threshold = 0 keeps every pair (the filter is
+        # trivially true), preserving the documented any-threshold
+        # semantics of the n_inter >= 1 gate below.
+        .filter(
+            F.round(
+                F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b"), 6
+            )
+            >= F.lit(threshold)
+        )
         .withColumn(
             "n_inter",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
@@ -707,6 +723,16 @@ def dedup_against_store(
     j = (
         cand.join(ns, "new_id")
         .join(os_, "old_id")
+        # same exact size-ratio prune as near_dup_pairs: max achievable
+        # Jaccard is min(sz)/max(sz); pairs that cannot reach the
+        # threshold skip the array_intersect
+        .filter(
+            F.round(
+                F.least("sz_new", "sz_old") / F.greatest("sz_new", "sz_old"),
+                6,
+            )
+            >= F.lit(threshold)
+        )
         .withColumn(
             "n_inter",
             F.size(F.array_intersect("toks_new", "toks_old")).cast("bigint"),
